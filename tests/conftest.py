@@ -1,0 +1,20 @@
+"""Test env: force CPU backend with 8 virtual devices (SURVEY.md §4 item 5).
+
+Must run before any jax import.  Small deterministic renders run on CPU;
+the multi-device tests use the 8 virtual host devices as the stand-in for
+a TPU slice.  Real-chip perf is exercised by bench.py, not pytest.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the axon TPU
+# tunnel, which is the bench target, not the test target.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,38 @@
+"""Golden test (SURVEY.md §4 item 2): wavefront PT vs the NumPy oracle.
+
+Both consume identical counter-based RNG streams, so images agree pixel-wise
+up to float32 noise plus rare decision flips (RR/lobe thresholds crossed by
+fp differences) — we assert a tight mean error and a small outlier budget.
+"""
+
+import numpy as np
+
+from oracle.oracle_pt import oracle_render
+from tputracer.api import render
+from tputracer.config import RenderConfig
+from tputracer.scene import cornell_box
+
+
+def _compare(variant, cfg):
+    scene = cornell_box(variant)
+    img_dev, _ = render(scene, cfg)
+    img_dev = np.asarray(img_dev)
+    img_ora = oracle_render(scene, cfg)
+    err = np.abs(img_dev - img_ora)
+    rel = err / (1.0 + np.abs(img_ora))
+    frac_bad = float((rel > 5e-3).mean())
+    assert float(rel.mean()) < 5e-4, f"mean rel err {rel.mean():.2e}"
+    assert frac_bad < 0.01, f"outlier fraction {frac_bad:.3f}"
+    # image is non-trivial
+    assert img_dev.mean() > 1e-3
+
+
+def test_cornell_boxes_matches_oracle():
+    _compare("boxes", RenderConfig(width=24, height=24, spp=4,
+                                   max_bounces=4, rr_start=2, seed=5))
+
+
+def test_cornell_spheres_matches_oracle():
+    """Glass + mirror spheres: exercises specular/refractive lanes (config 2)."""
+    _compare("spheres", RenderConfig(width=20, height=20, spp=4,
+                                     max_bounces=5, rr_start=2, seed=9))

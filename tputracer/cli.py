@@ -1,0 +1,84 @@
+"""CLI entry point (SURVEY.md §2 row 15: main/CLI).
+
+The reference's ``main()`` parses argv, picks an integrator, renders and
+writes an image with timing (SURVEY.md §3.1).  Same surface here:
+
+    python -m tputracer.cli --scene boxes --integrator pt \
+        --size 256 --spp 16 --bounces 4 --out out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tputracer")
+    ap.add_argument("--scene", default="boxes",
+                    choices=["empty", "boxes", "spheres", "glass_sphere",
+                             "caustic", "furnace"])
+    ap.add_argument("--integrator", default="pt", choices=["pt", "bdpt"])
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mis", action="store_true")
+    ap.add_argument("--exposure", type=float, default=1.0)
+    ap.add_argument("--out", default="out.png")
+    ap.add_argument("--profile", default=None,
+                    help="dump a jax profiler trace to this directory")
+    args = ap.parse_args(argv)
+
+    from tputracer.config import BdptConfig, RenderConfig
+    from tputracer.film import save_png
+    from tputracer.scene import cornell_box, furnace
+
+    scene = furnace() if args.scene == "furnace" else cornell_box(args.scene)
+
+    if args.integrator == "pt":
+        from tputracer.api import render as run
+        cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
+                           max_bounces=args.bounces, seed=args.seed,
+                           mis=args.mis)
+    else:
+        from tputracer.api import render_bdpt as run
+        cfg = BdptConfig(width=args.size, height=args.size, spp=args.spp,
+                         max_eye_depth=args.bounces,
+                         max_light_depth=args.bounces, seed=args.seed)
+
+    t0 = time.time()
+    img, stats = run(scene, cfg)
+    img.block_until_ready()
+    t_compile = time.time() - t0
+
+    ctx = None
+    if args.profile:
+        import jax
+        ctx = jax.profiler.trace(args.profile)
+        ctx.__enter__()
+    t0 = time.time()
+    img, stats = run(scene, cfg)
+    img = np.asarray(img)
+    dt = time.time() - t0
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
+
+    save_png(img, args.out, exposure=args.exposure)
+    n_paths = args.size * args.size * args.spp
+    # closest-hit + shadow rays actually traced (masked lanes count as work)
+    rays = n_paths * (args.bounces + 1 + args.bounces)
+    print(json.dumps({
+        "scene": args.scene, "integrator": args.integrator,
+        "size": args.size, "spp": args.spp, "bounces": args.bounces,
+        "compile_s": round(t_compile - dt, 3), "render_s": round(dt, 4),
+        "rays_per_s": round(rays / dt), "out": args.out,
+        "mean": float(img.mean()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

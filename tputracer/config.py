@@ -1,0 +1,50 @@
+"""Frozen, hashable configs — static jit arguments (SURVEY.md §5 "Config").
+
+Shape-affecting knobs (resolution, spp, bounces, chunk size) live here so
+changing them recompiles cleanly; everything runtime-valued lives in the
+Scene pytree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512
+    height: int = 512
+    spp: int = 16
+    max_bounces: int = 4          # scatter events; total path verts = +1
+    rr_start: int = 3             # first bounce with Russian roulette
+    seed: int = 0
+    mis: bool = False             # False = NEE-only (reference semantics,
+                                  # SURVEY.md §3.2); True = power-heuristic
+                                  # MIS between NEE and BSDF sampling
+    chunk_size: int = 1 << 20     # wavefront paths per chunk (memory knob)
+    transport_radiance: bool = True
+
+    def with_(self, **kw):
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class BdptConfig:
+    width: int = 512
+    height: int = 512
+    spp: int = 16
+    max_eye_depth: int = 4        # eye subpath vertices beyond the camera
+    max_light_depth: int = 4      # light subpath vertices incl. the emitter
+    seed: int = 0
+    chunk_size: int = 1 << 16
+    transport_radiance: bool = True
+
+    def with_(self, **kw):
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    """Device-mesh layout for multi-chip / multi-host rendering."""
+    axis_name: str = "rays"
+    num_devices: int = 1          # 1 = single-device (no shard_map)

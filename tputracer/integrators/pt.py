@@ -1,0 +1,176 @@
+"""Wavefront unidirectional path tracer (SURVEY.md §2 row 13, §3.2).
+
+The reference's recursive ``radiance(ray, depth)`` (SURVEY.md §3.2) is
+inverted into a bounce-major wavefront: one SoA state
+{o, d, throughput, L, alive, gate} for a chunk of paths, advanced by an
+unrolled static bounce loop inside a single jit.  Recursion, early-outs
+and Russian roulette all become lane masks — no data-dependent control
+flow, so XLA fuses each bounce into a handful of MXU contractions
+(intersection) plus fully fused VPU shading.
+
+Per bounce b (mirrors the reference semantics):
+  1. closest-hit intersect (MXU Pluecker; accel.bruteforce)
+  2. add emission — gated: at b==0, after a delta bounce, or (mis mode)
+     weighted by the power heuristic against the NEE strategy
+  3. NEE: sample an emitter point, one batched shadow-ray any-hit
+  4. sample the BSDF, update throughput (detached-sampling grads)
+  5. Russian roulette from cfg.rr_start on
+
+RNG is counter-based (tputracer.rng) keyed by global path uid — streams
+are identical regardless of chunking or sharding, and the NumPy oracle
+(tests/oracle) consumes the *same* streams, enabling near-exact golden
+tests instead of loose statistical ones.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tputracer import geometry as g
+from tputracer import rng
+from tputracer.accel import intersect_brute, occluded_brute
+from tputracer.bsdf import emitted, eval_bsdf, pdf_bsdf, sample_bsdf
+from tputracer.lights import pdf_light_area, sample_light
+
+_BIG = jnp.float32(3.0e38)
+
+
+def _power2(a, b):
+    """Power heuristic (beta=2) MIS weight for strategy a vs b."""
+    a2 = a * a
+    return a2 / jnp.maximum(a2 + b * b, 1e-20)
+
+
+def camera_rays(scene, uid, cfg):
+    """Primary rays with per-sample pixel jitter (SURVEY.md §2 row 12)."""
+    cam = scene.camera
+    pix = (uid // jnp.uint32(cfg.spp)).astype(jnp.int32)
+    px = (pix % cfg.width).astype(jnp.float32)
+    py = (pix // cfg.width).astype(jnp.float32)
+    j0, j1, _ = rng.uniform3(uid, rng.salt(0, rng.SLOT_CAMERA), cfg.seed)
+    u = (px + j0) * (1.0 / cfg.width)
+    v = (py + j1) * (1.0 / cfg.height)
+    d = g.normalize(
+        cam.corner[None, :]
+        + u[:, None] * cam.du[None, :]
+        + v[:, None] * cam.dv[None, :]
+        - cam.o[None, :]
+    )
+    o = jnp.broadcast_to(cam.o[None, :], d.shape)
+    return o, d
+
+
+def trace_radiance(scene, uid, cfg):
+    """Radiance for a chunk of paths. uid: (n,) uint32 -> (L (n,3), stats)."""
+    n = uid.shape[0]
+    o, d = camera_rays(scene, uid, cfg)
+    zeros1 = jnp.zeros((n,), jnp.float32)
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    thr = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    prev_delta = jnp.ones((n,), bool)     # b==0 counts as "emission gated on"
+    prev_pdf = zeros1                      # solid-angle pdf of previous bounce
+    alive_counts = []
+    eps = jnp.float32(scene.eps)
+
+    for b in range(cfg.max_bounces + 1):
+        hit = intersect_brute(scene, o, d, tmin=zeros1, tmax=jnp.full((n,), _BIG))
+        active = alive & hit.valid
+        alive_counts.append(jnp.sum(active.astype(jnp.float32)))
+
+        # ---- emission at the hit vertex ----
+        le = emitted(scene, hit.mat, hit.n, d)
+        if cfg.mis and b > 0:
+            pl_area, is_em = pdf_light_area(scene, hit.prim)
+            cos_l = jnp.abs(g.dot(hit.n, d))
+            pl_sa = pl_area * hit.t**2 / jnp.maximum(cos_l, 1e-6)
+            w_hit = jnp.where(prev_delta, 1.0, _power2(prev_pdf, pl_sa))
+        else:
+            # NEE-only: emitters counted at b==0 (prev_delta init) or after
+            # a delta bounce — the reference's double-count guard (§3.2)
+            w_hit = prev_delta.astype(jnp.float32)
+        L = L + jnp.where(active[:, None], thr * le * w_hit[:, None], 0.0)
+
+        if b == cfg.max_bounces:
+            break
+
+        wo = -d
+        ns = g.face_forward(hit.n, wo)
+
+        # ---- next-event estimation (SURVEY.md §3.2 NEE block) ----
+        ul0, ul1, ul2 = rng.uniform3(uid, rng.salt(b, rng.SLOT_LIGHT), cfg.seed)
+        y, n_l, le_l, pdf_a, _ = sample_light(scene, ul0, ul1, ul2)
+        to_l = y - hit.p
+        dist2 = jnp.maximum(g.dot(to_l, to_l), 1e-12)
+        dist = jnp.sqrt(dist2)
+        wi_l = to_l / dist[:, None]
+        cos_p = g.dot(wi_l, ns)
+        cos_l = g.dot(n_l, -wi_l)
+        geom_ok = (cos_p > 0.0) & (cos_l > 1e-6)
+        f = eval_bsdf(scene, hit.mat, hit.n, wo, wi_l)
+        so = hit.p + ns * eps
+        occ = occluded_brute(scene, so, wi_l, tmax=dist * (1.0 - 1e-3))
+        pdf_sa = pdf_a * dist2 / jnp.maximum(cos_l, 1e-6)
+        if cfg.mis:
+            pb = pdf_bsdf(scene, hit.mat, hit.n, wo, wi_l)
+            w_nee = _power2(pdf_sa, pb)
+        else:
+            w_nee = 1.0
+        contrib = thr * f * le_l * (w_nee * cos_p / pdf_sa)[:, None]
+        nee_on = active & geom_ok & jnp.logical_not(occ)
+        L = L + jnp.where(nee_on[:, None], contrib, 0.0)
+
+        # ---- BSDF sampling / continuation ----
+        ub0, ub1, ub2 = rng.uniform3(uid, rng.salt(b, rng.SLOT_BSDF), cfg.seed)
+        wi, wgt, pdf_b, is_delta = sample_bsdf(
+            scene, hit.mat, hit.n, wo, ub0, ub1, ub2,
+            transport_radiance=cfg.transport_radiance,
+        )
+        thr = thr * wgt
+
+        # ---- Russian roulette ----
+        if b >= cfg.rr_start:
+            ur, _, _ = rng.uniform3(uid, rng.salt(b, rng.SLOT_RR), cfg.seed)
+            q = jnp.clip(jnp.max(thr, axis=-1), 0.05, 0.95)
+            active = active & (ur < q)
+            thr = thr / q[:, None]
+
+        side = jnp.where(g.dot(wi, hit.n) >= 0.0, 1.0, -1.0)
+        o = hit.p + hit.n * (side * eps)[:, None]
+        d = wi
+        prev_delta = is_delta
+        prev_pdf = pdf_b
+        alive = active & (jnp.max(thr, axis=-1) > 0.0)
+
+    stats = {"alive": jnp.stack(alive_counts)}
+    return L, stats
+
+
+def render_pt(scene, cfg):
+    """Full-frame render: chunked wavefront + film average.
+
+    Returns (image (H,W,3) float32 [row 0 = top], stats).  The per-path
+    -> pixel reduction is a pure reshape/mean because paths are laid out
+    pixel-major and never compacted across pixels — no scatter, no
+    segment_sum (SURVEY.md §7 M1).
+    """
+    n_total = cfg.width * cfg.height * cfg.spp
+    chunk = min(cfg.chunk_size, n_total)
+    n_chunks = -(-n_total // chunk)
+    n_pad = n_chunks * chunk
+    uids = jnp.arange(n_pad, dtype=jnp.uint32).reshape(n_chunks, chunk)
+
+    # Unrolled (static) chunk loop — deliberately NOT lax.map/scan: long
+    # scans with big carried buffers both miscompile on the axon backend
+    # (observed: corrupted chunks / INVALID_ARGUMENT) and serialize worse
+    # than straight-line code.  n_chunks is small; unrolling is free.
+    outs = [trace_radiance(scene, uids[i], cfg) for i in range(n_chunks)]
+    L = jnp.concatenate([o[0] for o in outs], axis=0)[:n_total]
+    stats_list = [o[1] for o in outs]
+    img = L.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(axis=2)
+    img = img[::-1]  # camera dv points up; row 0 = top of image
+    stats = jax.tree.map(lambda *xs: sum(xs), *stats_list)
+    return img, stats

@@ -1,0 +1,10 @@
+from tputracer.scene.types import (  # noqa: F401
+    DIFFUSE,
+    GLASS,
+    MIRROR,
+    Camera,
+    Scene,
+    make_camera,
+    make_scene,
+)
+from tputracer.scene.cornell import cornell_box, furnace  # noqa: F401
