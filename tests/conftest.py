@@ -10,11 +10,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS to the axon TPU
-# tunnel, which is the bench target, not the test target.
+# Force CPU: the ambient environment pins JAX to the axon TPU tunnel,
+# which is the bench target, not the test target.  The env var alone is
+# NOT enough — the axon sitecustomize calls register(), which does
+# jax.config.update("jax_platforms", "axon,cpu") and overrides the env;
+# re-update the config after import (backends are not initialized yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,56 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (SURVEY.md §4.5).
+
+Placement invariance is the core property: the RNG is keyed by global
+path uid (tputracer.rng), so any mesh shape must reproduce the
+single-device image bitwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tputracer.api import render
+from tputracer.config import RenderConfig
+from tputracer.dist import fit_step_sharded, make_mesh, render_sharded
+from tputracer.scene import cornell_box
+
+CFG = RenderConfig(width=16, height=16, spp=2, max_bounces=2, rr_start=1,
+                   chunk_size=16 * 16 * 2)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box("boxes")
+
+
+@pytest.mark.parametrize("shape,names", [
+    ((8,), ("dp",)),
+    ((2, 4), ("host", "chip")),
+])
+def test_sharded_render_bitwise_matches_single_device(scene, shape, names):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    ref, _ = render(scene, CFG)
+    mesh = make_mesh(shape, names)
+    img, _ = render_sharded(scene, CFG, mesh)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
+
+
+def test_fit_step_sharded_matches_single_device_grads(scene):
+    target, _ = render(scene, CFG)
+    params = {"mat_albedo": scene.mat_albedo * 0.5}
+    sc = scene.replace(**params)
+
+    def loss_fn(p):
+        img, _ = render(sc.replace(**p), CFG)
+        return jnp.mean((img - target) ** 2)
+
+    loss1, grads1 = jax.value_and_grad(loss_fn)(params)
+
+    mesh = make_mesh((8,), ("dp",))
+    loss8, grads8 = fit_step_sharded(sc, params, target, CFG, mesh)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads1["mat_albedo"]), np.asarray(grads8["mat_albedo"]),
+        rtol=1e-4, atol=1e-7)

@@ -1,0 +1,120 @@
+"""Gradient correctness vs central finite differences (SURVEY.md §4.4).
+
+Pathwise-exact setup: RNG streams are counter-based on path uid, so a
+parameter perturbation replays the IDENTICAL sampling decisions as long
+as no discrete choice flips.  With a diffuse-only scene and RR disabled
+(rr_start > max_bounces) the estimator is a smooth function of albedo
+and emission, and AD must match FD to float32 accuracy — no statistical
+tolerance needed (SURVEY.md §4 test strategy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tputracer.config import RenderConfig
+from tputracer.integrators.pt import render_pt
+from tputracer.scene import cornell_box
+
+CFG = RenderConfig(width=16, height=16, spp=4, max_bounces=3,
+                   rr_start=99,  # RR off: keeps the FD pathwise-smooth
+                   chunk_size=16 * 16 * 4)
+
+
+def _loss(scene, key=0):
+    # fixed random projection of the image: exercises all pixels with
+    # distinct weights (a mean would cancel antisymmetric errors)
+    img, _ = render_pt(scene, CFG)
+    w = jax.random.uniform(jax.random.key(key), img.shape)
+    return jnp.sum(img * w)
+
+
+def _fd_vs_ad(scene, name, eps):
+    # linearize at a strictly interior point: albedo exactly 0 (the light
+    # material) sits on the thr>0 liveness discontinuity, which a
+    # symmetric FD would straddle
+    p0 = getattr(scene, name)
+    if name == "mat_albedo":
+        p0 = jnp.clip(p0, 0.05, 0.95)
+
+    def f(p):
+        return _loss(scene.replace(**{name: p}))
+
+    g_ad = jax.grad(f)(p0)
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=p0.shape).astype(np.float32))
+    f_plus = f(p0 + eps * u)
+    f_minus = f(p0 - eps * u)
+    fd = (float(f_plus) - float(f_minus)) / (2 * eps)
+    ad = float(jnp.vdot(g_ad, u))
+    return fd, ad
+
+
+def test_albedo_grad_matches_fd():
+    scene = cornell_box("boxes")
+    fd, ad = _fd_vs_ad(scene, "mat_albedo", eps=2e-3)
+    assert abs(fd - ad) <= 2e-2 * max(abs(fd), abs(ad)), (fd, ad)
+
+
+def test_emission_grad_matches_fd():
+    scene = cornell_box("boxes")
+    fd, ad = _fd_vs_ad(scene, "mat_emission", eps=2e-2)
+    assert abs(fd - ad) <= 2e-2 * max(abs(fd), abs(ad)), (fd, ad)
+
+
+def test_ior_grad_finite_on_glass_scene():
+    scene = cornell_box("spheres")
+    cfg = CFG.with_(max_bounces=5)
+
+    def f(p):
+        img, _ = render_pt(scene.replace(mat_ior=p), cfg)
+        return jnp.mean(img)
+
+    g = jax.grad(f)(scene.mat_ior)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fit_recovers_albedo_and_emission():
+    scene = cornell_box("boxes")
+    cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=2,
+                       rr_start=1, chunk_size=16 * 16 * 4)
+    target, _ = render_pt(scene, cfg)
+
+    from tputracer.fit import fit
+
+    init = {
+        "mat_albedo": jnp.clip(scene.mat_albedo * 0.4 + 0.2, 0.0, 1.0),
+        "mat_emission": scene.mat_emission * 0.5,
+    }
+    _, params, history = fit(
+        scene, target, cfg=cfg, steps=40, learning_rate=1.5e-1,
+        init=init, log_every=0)
+    assert history[-1]["loss"] < 0.3 * history[0]["loss"], history[::8]
+
+
+def test_fit_checkpoint_resume_reproduces_trajectory(tmp_path):
+    scene = cornell_box("boxes")
+    cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=2,
+                       rr_start=1, chunk_size=8 * 8 * 2)
+    target, _ = render_pt(scene, cfg)
+    from tputracer.fit import fit
+
+    init = {"mat_albedo": scene.mat_albedo * 0.5}
+
+    # uninterrupted run
+    _, p_full, h_full = fit(scene, target, cfg=cfg, steps=10,
+                            init=init, log_every=0)
+
+    # interrupted at step 5, resumed from checkpoint
+    ck = str(tmp_path / "fit.npz")
+    fit(scene, target, cfg=cfg, steps=5, init=init, log_every=0,
+        checkpoint_path=ck, checkpoint_every=5)
+    _, p_res, h_res = fit(scene, target, cfg=cfg, steps=10, init=init,
+                          log_every=0, checkpoint_path=ck,
+                          checkpoint_every=5)
+
+    np.testing.assert_array_equal(
+        np.asarray(p_full["mat_albedo"]), np.asarray(p_res["mat_albedo"]))
+    assert h_res[0]["step"] == 5

@@ -98,7 +98,10 @@ def intersect_brute(scene, o, d, tmin, tmax) -> Hit:
 
     Tp = scene.n_tri_pad
     is_tri = prim < Tp
-    p = o + t[:, None] * d
+    # missed lanes keep t=_BIG for the valid test, but the hit POINT uses
+    # a clamped t: o + 3e38*d overflows dot(p,p) to inf, and that inf
+    # poisons gradients through the (masked) NEE math downstream
+    p = o + jnp.where(valid, t, 1.0)[:, None] * d
     tri_id = jnp.where(is_tri, prim, 0)
     n_tri = g.normalize(scene.tri_n[tri_id])
     if scene.n_spheres:

@@ -61,7 +61,9 @@ def _fresnel_dielectric(cos_i, eta_i, eta_t):
     """Exact unpolarized Fresnel reflectance; cos_i >= 0 on the incident side."""
     sin2_t = (eta_i / eta_t) ** 2 * jnp.maximum(1.0 - cos_i**2, 0.0)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # clamp away from 0: sqrt'(0) = inf, and TIR lanes (where cos_t is
+    # unused) would poison ior-gradients with 0 * inf = NaN
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 1e-12, 1.0))
     r_par = (eta_t * cos_i - eta_i * cos_t) / (eta_t * cos_i + eta_i * cos_t)
     r_per = (eta_i * cos_i - eta_t * cos_t) / (eta_i * cos_i + eta_t * cos_t)
     f = 0.5 * (r_par**2 + r_per**2)

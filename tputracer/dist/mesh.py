@@ -1,0 +1,143 @@
+"""Multi-chip / multi-host rendering (SURVEY.md §2 parallelism table, §7 M7).
+
+The reference is a single CPU process with no distribution layer; this
+module is the new framework's scaling story, built the TPU way:
+
+  * **DP over rays** — the wavefront's path axis is sharded across every
+    chip of a ``jax.sharding.Mesh`` via ``shard_map``.  Path uids are
+    global and the RNG is counter-based on uid (tputracer.rng), so the
+    rendered image is bitwise placement-invariant: 1 chip, 8 chips and
+    8 hosts x 4 chips all produce the identical film (SURVEY.md §4.5).
+  * **Scene replicated** — Cornell-class scenes are a few KB; every leaf
+    is broadcast (in_spec ``P()``).  Scene *tiling* (the TP analogue) is
+    phase 2, for scenes that outgrow HBM.
+  * **Gradient psum over ICI** — inverse rendering reduces parameter
+    gradients with one ``psum`` over all mesh axes inside the shard_map
+    (the all-reduce of SURVEY.md §2's "Gradient reduction" row); XLA
+    overlaps it with the backward sweep.
+
+The mesh may be any rank (e.g. ``("host", "chip")``); rays shard over
+*all* axes jointly and collectives reduce over all axes, so the same code
+serves a flat 1-axis slice and a 2-axis multi-host topology — DCN vs ICI
+is transparent to the collective API.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tputracer.integrators.pt import film_from_radiance, trace_chunked
+
+
+def make_mesh(shape=None, axis_names=None, devices=None):
+    """Build a Mesh over the available devices.
+
+    shape: tuple of axis sizes (default: all devices on one "dp" axis).
+    """
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    if axis_names is None:
+        axis_names = ("dp",) if len(shape) == 1 else ("host", "chip")[: len(shape)]
+    n = int(np.prod(shape))
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def _replicated(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def _check_divisible(cfg, n_shards):
+    rows_per = cfg.height // n_shards
+    if rows_per * n_shards != cfg.height:
+        raise ValueError(
+            f"height {cfg.height} must divide by the mesh size {n_shards} "
+            "(rays are sharded in whole image rows)"
+        )
+    return rows_per
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _render_sharded_jit(scene, cfg, mesh):
+    axes = mesh.axis_names
+    n_shards = int(np.prod(mesh.devices.shape))
+    rows_per = _check_divisible(cfg, n_shards)
+    n_total = cfg.width * cfg.height * cfg.spp
+
+    def shard_body(scene, uids):
+        L, stats = trace_chunked(scene, uids, cfg)
+        img = film_from_radiance(L, cfg, rows=rows_per, flip=False)
+        return img, stats
+
+    uids = jnp.arange(n_total, dtype=jnp.uint32)
+    f = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(_replicated(scene), P(axes)),
+        out_specs=(P(axes), P(axes)),
+    )
+    img, stats = f(scene, uids)
+    return img[::-1], stats  # global flip: row 0 = top
+
+
+def render_sharded(scene, cfg, mesh):
+    """Full-frame render sharded over the mesh. Returns (image, stats).
+
+    Bitwise-identical to api.render for any mesh shape (pixel-keyed RNG).
+    """
+    return _render_sharded_jit(scene, cfg, mesh)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _fit_step_jit(scene, params, target, cfg, mesh):
+    axes = mesh.axis_names
+    n_shards = int(np.prod(mesh.devices.shape))
+    rows_per = _check_divisible(cfg, n_shards)
+    n_total = cfg.width * cfg.height * cfg.spp
+    denom = jnp.float32(cfg.height * cfg.width * 3)
+
+    def shard_loss(scene, params, uids, tgt_rows):
+        # per-device partial loss; global loss = psum over all mesh axes
+        def loss_fn(p):
+            sc = scene.replace(**p)
+            L, _ = trace_chunked(sc, uids, cfg)
+            img = film_from_radiance(L, cfg, rows=rows_per, flip=False)
+            return jnp.sum((img - tgt_rows) ** 2) / denom
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, axes)
+        # NO explicit grad psum: params are replicated (unvarying) inside
+        # shard_map, so their use against per-shard rays is an implicit
+        # pbroadcast whose TRANSPOSE is the psum — jax inserts the
+        # all-reduce over all mesh axes itself (verified: adding one here
+        # double-counts by the mesh size).  This is exactly the "grad
+        # all-reduce over ICI overlapped with backward" of SURVEY.md §2,
+        # placed by XLA per-parameter inside the backward sweep.
+        return loss, grads
+
+    uids = jnp.arange(n_total, dtype=jnp.uint32)
+    f = shard_map(
+        shard_loss,
+        mesh=mesh,
+        in_specs=(_replicated(scene), _replicated(params), P(axes), P(axes)),
+        out_specs=(P(), _replicated(params)),
+    )
+    # target rows in uid order = bottom-up: flip the top-down target once
+    return f(scene, params, uids, target[::-1])
+
+
+def fit_step_sharded(scene, params, target, cfg, mesh):
+    """One inverse-rendering step on the mesh: (loss, grads), grads psum-ed.
+
+    params: dict of Scene field overrides (e.g. mat_albedo, mat_emission).
+    target: (H,W,3) top-down target image (replicated; rows are consumed
+    per-shard, flipped internally to match uid order).
+    """
+    return _fit_step_jit(scene, params, target, cfg, mesh)

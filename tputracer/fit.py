@@ -1,0 +1,141 @@
+"""Inverse rendering: fit scene parameters to a target image (M3).
+
+The BASELINE north_star capability: "recover albedo + emitter intensity"
+by gradient descent through the renderer.  This is a NEW capability of
+the TPU framework (the reference renderer is not differentiable).
+
+Design:
+  * parameters = any differentiable Scene leaves (mat_albedo,
+    mat_emission, mat_ior); gradients flow through the detached-sampling
+    estimator (SURVEY.md §3.6).
+  * single-device or mesh-sharded (tputracer.dist.fit_step_sharded) —
+    gradients all-reduce over ICI inside the backward pass.
+  * checkpoint/resume every K steps (SURVEY.md §5 "Checkpoint/resume"):
+    restarts reproduce the uninterrupted trajectory exactly because the
+    per-step RNG is keyed by the step number, not wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+DEFAULT_PARAMS = ("mat_albedo", "mat_emission")
+
+# projection ranges keeping parameters physical during optimization
+_PARAM_RANGES = {
+    "mat_albedo": (0.0, 1.0),
+    "mat_emission": (0.0, None),
+    "mat_ior": (1.0, 3.0),
+}
+
+
+def _project(params):
+    out = {}
+    for k, v in params.items():
+        lo, hi = _PARAM_RANGES.get(k, (None, None))
+        out[k] = jnp.clip(v, lo, hi)
+    return out
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _fit_step_single(scene, params, target, cfg, opt, opt_state):
+    def loss_fn(p):
+        from tputracer.integrators.pt import render_pt
+
+        img, _ = render_pt(scene.replace(**p), cfg)
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = _project(optax.apply_updates(params, updates))
+    return loss, params, opt_state
+
+
+def save_checkpoint(path, step, params, opt_state):
+    """Flat .npz checkpoint: params + optimizer pytree leaves + step."""
+    leaves, treedef = jax.tree_util.tree_flatten((params, opt_state))
+    arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    np.savez(path, n_leaves=len(leaves), step=step, **arrs)
+
+
+def load_checkpoint(path, params, opt_state):
+    """Restore (step, params, opt_state); shapes come from the templates."""
+    z = np.load(path)
+    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(int(z["n_leaves"]))]
+    _, treedef = jax.tree_util.tree_flatten((params, opt_state))
+    params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return int(z["step"]), params, opt_state
+
+
+def fit(
+    scene,
+    target,
+    param_names=DEFAULT_PARAMS,
+    cfg=None,
+    steps=100,
+    learning_rate=5e-2,
+    optimizer=None,
+    mesh=None,
+    init=None,
+    checkpoint_path=None,
+    checkpoint_every=25,
+    resume=True,
+    log_every=10,
+    log_file=None,
+):
+    """Gradient-descend scene parameters toward a target image.
+
+    Returns (fitted_scene, params, history) where history is a list of
+    {"step": i, "loss": v} dicts.
+    """
+    from tputracer.config import RenderConfig
+
+    cfg = cfg or RenderConfig(width=64, height=64, spp=8, max_bounces=3)
+    target = jnp.asarray(target, jnp.float32)
+    opt = optimizer or optax.adam(learning_rate)
+
+    params = dict(init) if init else {k: getattr(scene, k) for k in param_names}
+    opt_state = opt.init(params)
+    start = 0
+
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        start, params, opt_state = load_checkpoint(
+            checkpoint_path, params, opt_state)
+
+    if mesh is not None:
+        from tputracer.dist import fit_step_sharded
+
+        @jax.jit
+        def _update(params, grads, opt_state):
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return _project(optax.apply_updates(params, updates)), opt_state
+
+    history = []
+    logf = open(log_file, "a") if log_file else None
+    for step in range(start, steps):
+        sc = scene.replace(**params)
+        if mesh is not None:
+            loss, grads = fit_step_sharded(sc, params, target, cfg, mesh)
+            params, opt_state = _update(params, grads, opt_state)
+        else:
+            loss, params, opt_state = _fit_step_single(
+                scene, params, target, cfg, opt, opt_state)
+        rec = {"step": step, "loss": float(loss)}
+        history.append(rec)
+        if logf:
+            logf.write(json.dumps(rec) + "\n")
+        if log_every and step % log_every == 0:
+            print(f"fit step {step}: loss {rec['loss']:.6f}")
+        if checkpoint_path and checkpoint_every and (
+                (step + 1) % checkpoint_every == 0 or step + 1 == steps):
+            save_checkpoint(checkpoint_path, step + 1, params, opt_state)
+    if logf:
+        logf.close()
+    return scene.replace(**params), params, history

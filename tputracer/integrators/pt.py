@@ -86,7 +86,10 @@ def trace_radiance(scene, uid, cfg):
         if cfg.mis and b > 0:
             pl_area, is_em = pdf_light_area(scene, hit.prim)
             cos_l = jnp.abs(g.dot(hit.n, d))
-            pl_sa = pl_area * hit.t**2 / jnp.maximum(cos_l, 1e-6)
+            # missed lanes carry t=_BIG whose square overflows to inf and
+            # NaN-poisons the power-heuristic backward; clamp them out
+            t_safe = jnp.where(hit.valid, hit.t, 1.0)
+            pl_sa = pl_area * t_safe**2 / jnp.maximum(cos_l, 1e-6)
             w_hit = jnp.where(prev_delta, 1.0, _power2(prev_pdf, pl_sa))
         else:
             # NEE-only: emitters counted at b==0 (prev_delta init) or after
@@ -134,7 +137,10 @@ def trace_radiance(scene, uid, cfg):
         # ---- Russian roulette ----
         if b >= cfg.rr_start:
             ur, _, _ = rng.uniform3(uid, rng.salt(b, rng.SLOT_RR), cfg.seed)
-            q = jnp.clip(jnp.max(thr, axis=-1), 0.05, 0.95)
+            # q is the probability of a DETACHED discrete decision: detach
+            # it (SURVEY.md §7 hard part 3 — differentiating the 1/q
+            # compensation through q biases the estimator)
+            q = lax.stop_gradient(jnp.clip(jnp.max(thr, axis=-1), 0.05, 0.95))
             active = active & (ur < q)
             thr = thr / q[:, None]
 
@@ -149,6 +155,30 @@ def trace_radiance(scene, uid, cfg):
     return L, stats
 
 
+def trace_chunked(scene, uids, cfg):
+    """Trace a flat (n,) uid array in cfg.chunk_size pieces -> (L (n,3), stats).
+
+    The chunk loop is unrolled (static) — deliberately NOT lax.map/scan:
+    long scans with big carried buffers both miscompile on the axon
+    backend (observed: corrupted chunks / INVALID_ARGUMENT) and serialize
+    worse than straight-line code.  n_chunks is small; unrolling is free.
+    This is also the per-device body for the sharded renderer
+    (tputracer.dist): uids are global path ids, so streams are identical
+    however the wavefront is split across chunks or chips.
+    """
+    n = uids.shape[0]
+    chunk = min(cfg.chunk_size, n)
+    n_chunks = -(-n // chunk)
+    assert n_chunks * chunk == n, (n, chunk)
+    outs = [
+        trace_radiance(scene, uids[i * chunk:(i + 1) * chunk], cfg)
+        for i in range(n_chunks)
+    ]
+    L = jnp.concatenate([o[0] for o in outs], axis=0)
+    stats = jax.tree.map(lambda *xs: sum(xs), *[o[1] for o in outs])
+    return L, stats
+
+
 def render_pt(scene, cfg):
     """Full-frame render: chunked wavefront + film average.
 
@@ -159,18 +189,21 @@ def render_pt(scene, cfg):
     """
     n_total = cfg.width * cfg.height * cfg.spp
     chunk = min(cfg.chunk_size, n_total)
-    n_chunks = -(-n_total // chunk)
-    n_pad = n_chunks * chunk
-    uids = jnp.arange(n_pad, dtype=jnp.uint32).reshape(n_chunks, chunk)
-
-    # Unrolled (static) chunk loop — deliberately NOT lax.map/scan: long
-    # scans with big carried buffers both miscompile on the axon backend
-    # (observed: corrupted chunks / INVALID_ARGUMENT) and serialize worse
-    # than straight-line code.  n_chunks is small; unrolling is free.
-    outs = [trace_radiance(scene, uids[i], cfg) for i in range(n_chunks)]
-    L = jnp.concatenate([o[0] for o in outs], axis=0)[:n_total]
-    stats_list = [o[1] for o in outs]
-    img = L.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(axis=2)
-    img = img[::-1]  # camera dv points up; row 0 = top of image
-    stats = jax.tree.map(lambda *xs: sum(xs), *stats_list)
+    n_pad = -(-n_total // chunk) * chunk
+    uids = jnp.arange(n_pad, dtype=jnp.uint32)
+    L, stats = trace_chunked(scene, uids, cfg)
+    img = film_from_radiance(L[:n_total], cfg)
     return img, stats
+
+
+def film_from_radiance(L, cfg, rows=None, flip=True):
+    """Per-path radiance (n,3) -> image rows, pixel-major layout.
+
+    rows: number of image rows contained in L (defaults to full height).
+    flip: camera dv points up, so uid row 0 is the BOTTOM of the image;
+    flip=True returns row 0 = top.  Sharded callers that stitch row
+    blocks must flip globally, not per-shard (tputracer.dist).
+    """
+    rows = cfg.height if rows is None else rows
+    img = L.reshape(rows, cfg.width, cfg.spp, 3).mean(axis=2)
+    return img[::-1] if flip else img
