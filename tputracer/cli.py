@@ -47,8 +47,7 @@ def main(argv=None):
     else:
         from tputracer.api import render_bdpt as run
         cfg = BdptConfig(width=args.size, height=args.size, spp=args.spp,
-                         max_eye_depth=args.bounces,
-                         max_light_depth=args.bounces, seed=args.seed)
+                         max_bounces=args.bounces, seed=args.seed)
 
     t0 = time.time()
     img, stats = run(scene, cfg)

@@ -30,11 +30,17 @@ class RenderConfig:
 
 @dataclass(frozen=True)
 class BdptConfig:
+    """Bidirectional path tracer config (SURVEY.md §3.3).
+
+    ``max_bounces`` mirrors RenderConfig: a full path has at most
+    ``max_bounces + 2`` vertices including the camera, so PT and BDPT
+    with equal ``max_bounces`` integrate the same path space — the
+    PT<->BDPT convergence tests (SURVEY.md §4 item 3) rely on this.
+    """
     width: int = 512
     height: int = 512
     spp: int = 16
-    max_eye_depth: int = 4        # eye subpath vertices beyond the camera
-    max_light_depth: int = 4      # light subpath vertices incl. the emitter
+    max_bounces: int = 4          # max surface scatter events on a full path
     seed: int = 0
     chunk_size: int = 1 << 16
     transport_radiance: bool = True

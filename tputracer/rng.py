@@ -32,6 +32,7 @@ SLOT_RR = 2         # russian roulette
 SLOT_CAMERA = 3     # pixel jitter (bounce 0 only)
 SLOT_LIGHT_ORIGIN = 4   # BDPT light-subpath origin: emitter pick + (u,v)
 SLOT_LIGHT_DIR = 5      # BDPT light-subpath emission direction
+SLOT_LBSDF = 6          # BDPT light-subpath BSDF sampling (per bounce)
 
 _INV_2_24 = np.float32(1.0 / 16777216.0)
 
