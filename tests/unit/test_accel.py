@@ -1,0 +1,147 @@
+"""Acceleration-structure oracle tests (SURVEY.md §4 item 1): the cluster
+BVH traversal must agree EXACTLY with brute-force all-primitives argmin on
+the same scene arrays — same t, same prim id, same occlusion verdict.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tputracer.accel import (
+    intersect_brute,
+    intersect_clustered,
+    occluded_brute,
+    occluded_clustered,
+)
+from tputracer.scene.mesh import load_obj, mesh_scene, obj_scene
+from tputracer.scene.types import DIFFUSE, make_camera, make_scene
+
+
+def _random_scene(n_tris=257, n_spheres=2, seed=0, leaf_size=16):
+    r = np.random.default_rng(seed)
+    base = r.uniform(-1, 1, (n_tris, 1, 3))
+    tv = (base + r.uniform(-0.25, 0.25, (n_tris, 3, 3))).astype(np.float32)
+    mats = r.integers(0, 2, n_tris).astype(np.int32)
+    materials = [
+        {"kind": DIFFUSE, "albedo": (0.5, 0.5, 0.5)},
+        {"kind": DIFFUSE, "albedo": (0, 0, 0), "emission": (5, 5, 5)},
+    ]
+    spheres = [((0.2, 0.1, 0.0), 0.3, 0), ((-0.4, -0.2, 0.3), 0.2, 1)]
+    cam = make_camera((0, 0, -3), (0, 0, 0), (0, 1, 0), 40.0, 1.0)
+    return make_scene(tv, mats, materials, spheres=spheres[:n_spheres],
+                      camera=cam, accel="cluster", leaf_size=leaf_size)
+
+
+def _random_rays(n, seed=1):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_clustered_matches_brute_closest_hit():
+    scene = _random_scene()
+    o, d = _random_rays(512)
+    tmin = jnp.zeros((512,))
+    tmax = jnp.full((512,), 3.0e38)
+    hb = intersect_brute(scene, o, d, tmin, tmax)
+    hc = intersect_clustered(scene, o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hc.valid))
+    v = np.asarray(hb.valid)
+    np.testing.assert_array_equal(np.asarray(hb.prim)[v], np.asarray(hc.prim)[v])
+    np.testing.assert_allclose(np.asarray(hb.t)[v], np.asarray(hc.t)[v],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hb.mat)[v], np.asarray(hc.mat)[v])
+
+
+def test_clustered_matches_brute_any_hit():
+    scene = _random_scene(seed=3)
+    o, d = _random_rays(512, seed=4)
+    tmax = jnp.full((512,), 1.5)
+    ob = np.asarray(occluded_brute(scene, o, d, tmax))
+    oc = np.asarray(occluded_clustered(scene, o, d, tmax))
+    np.testing.assert_array_equal(ob, oc)
+
+
+def test_clustered_respects_tmin_tmax_window():
+    scene = _random_scene(seed=7)
+    o, d = _random_rays(256, seed=8)
+    tmin = jnp.full((256,), 0.8)
+    tmax = jnp.full((256,), 2.0)
+    hb = intersect_brute(scene, o, d, tmin, tmax)
+    hc = intersect_clustered(scene, o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hc.valid))
+    v = np.asarray(hb.valid)
+    np.testing.assert_array_equal(np.asarray(hb.prim)[v], np.asarray(hc.prim)[v])
+
+
+def test_mesh_scene_renders():
+    """Small-subdiv mesh scene (config 3 shape) end-to-end through PT."""
+    from tputracer.api import render
+    from tputracer.config import RenderConfig
+
+    scene = mesh_scene(subdiv=3, leaf_size=32, accel="cluster")
+    assert scene.n_clusters > 8
+    cfg = RenderConfig(width=12, height=12, spp=2, max_bounces=2,
+                       rr_start=1, chunk_size=12 * 12 * 2)
+    img, _ = render(scene, cfg)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-3, img.mean()
+
+
+def test_pallas_kernel_matches_brute_interpret():
+    """The Pallas tile-coherent traversal kernel, run in interpreter mode
+    (the kernel 'sanitizer' of SURVEY.md §5), against brute force."""
+    from tputracer.accel.traverse_tpu import intersect_pallas, occluded_pallas
+
+    scene = _random_scene(n_tris=300, leaf_size=16, seed=11)
+    o, d = _random_rays(600, seed=12)
+    tmin = jnp.zeros((600,))
+    tmax = jnp.full((600,), 3.0e38)
+    hb = intersect_brute(scene, o, d, tmin, tmax)
+    hp = intersect_pallas(scene, o, d, tmin, tmax, interpret=True)
+    v = np.asarray(hb.valid)
+    np.testing.assert_array_equal(np.asarray(hp.valid), v)
+    np.testing.assert_array_equal(np.asarray(hp.prim)[v], np.asarray(hb.prim)[v])
+    # t via Moeller-Trumbore vs the plane equation: float32 formula skew
+    np.testing.assert_allclose(np.asarray(hp.t)[v], np.asarray(hb.t)[v],
+                               rtol=2e-4)
+    ob = np.asarray(occluded_brute(scene, o, d, jnp.full((600,), 1.5)))
+    op = np.asarray(occluded_pallas(scene, o, d, jnp.full((600,), 1.5),
+                                    interpret=True))
+    np.testing.assert_array_equal(ob, op)
+
+
+def test_mesh_scene_grad():
+    """Gradients flow through renders of clustered scenes (the traversal
+    while_loop is stop_gradient-detached — SURVEY.md §3.6)."""
+    from tputracer.api import grad_render, render
+    from tputracer.config import RenderConfig
+
+    scene = mesh_scene(subdiv=2, leaf_size=32, accel="cluster")
+    cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=2,
+                       rr_start=1, chunk_size=8 * 8 * 2)
+    target = np.asarray(render(scene, cfg)[0])
+    params = {"mat_albedo": scene.mat_albedo * 0.5}
+    loss, grads = grad_render(scene, params, target, cfg)
+    gn = float(np.abs(np.asarray(grads["mat_albedo"])).sum())
+    assert np.isfinite(float(loss)) and float(loss) > 0.0
+    assert np.isfinite(gn) and gn > 0.0
+
+
+def test_obj_loader_roundtrip():
+    obj = """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+f 1 2 3
+f 2 4 3
+f -4 -3 -2 -1
+"""
+    tv = load_obj(obj)
+    assert tv.shape == (4, 3, 3)       # 2 tris + 1 quad fan -> 2 tris
+    np.testing.assert_allclose(tv[0, 1], [1, 0, 0])
+    scene = obj_scene(obj, accel="none")
+    assert scene.n_tris == 4

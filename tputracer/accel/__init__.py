@@ -1,5 +1,54 @@
+"""Intersection backends + trace-time dispatch (SURVEY.md §2 rows 3-6).
+
+Small scenes (Cornell-class) use the dense MXU brute-force contraction;
+scenes built with a cluster BVH (scene.n_clusters > 0) traverse it.  The
+dispatch is a Python branch on pytree shape, resolved at trace time —
+zero runtime cost under jit.
+"""
+
 from tputracer.accel.bruteforce import (  # noqa: F401
     Hit,
+    finalize_hit,
     intersect_brute,
     occluded_brute,
 )
+import os
+
+import jax
+
+from tputracer.accel.clustered import (  # noqa: F401
+    intersect_clustered,
+    occluded_clustered,
+)
+
+
+def _use_pallas(scene):
+    """Pallas traversal on real TPU; XLA fallback elsewhere (and via the
+    TPUTRACER_NO_PALLAS escape hatch — SURVEY.md §7 hard-part 1 requires
+    the plain-XLA path to stay selectable).  The compiled kernel needs
+    lane-aligned leaf blocks (leaf_size %% 128 == 0)."""
+    if os.environ.get("TPUTRACER_NO_PALLAS"):
+        return False
+    return scene.leaf_size % 128 == 0 and jax.default_backend() == "tpu"
+
+
+def intersect(scene, o, d, tmin, tmax) -> Hit:
+    """Closest-hit over the scene; backend picked by scene layout."""
+    if scene.n_clusters:
+        if _use_pallas(scene):
+            from tputracer.accel.traverse_tpu import intersect_pallas
+
+            return intersect_pallas(scene, o, d, tmin, tmax)
+        return intersect_clustered(scene, o, d, tmin, tmax)
+    return intersect_brute(scene, o, d, tmin, tmax)
+
+
+def occluded(scene, o, d, tmax):
+    """Any-hit shadow predicate; backend picked by scene layout."""
+    if scene.n_clusters:
+        if _use_pallas(scene):
+            from tputracer.accel.traverse_tpu import occluded_pallas
+
+            return occluded_pallas(scene, o, d, tmax)
+        return occluded_clustered(scene, o, d, tmax)
+    return occluded_brute(scene, o, d, tmax)

@@ -95,7 +95,12 @@ def intersect_brute(scene, o, d, tmin, tmax) -> Hit:
     prim = jnp.argmin(t_all, axis=1).astype(jnp.int32)   # (N,)
     t = jnp.take_along_axis(t_all, prim[:, None], axis=1)[:, 0]
     valid = t < tmax
+    return finalize_hit(scene, o, d, t, prim, valid)
 
+
+def finalize_hit(scene, o, d, t, prim, valid) -> Hit:
+    """Assemble the Hit SoA from (t, prim, valid) — shared by all
+    intersectors (brute force, clustered XLA, Pallas)."""
     Tp = scene.n_tri_pad
     is_tri = prim < Tp
     # missed lanes keep t=_BIG for the valid test, but the hit POINT uses

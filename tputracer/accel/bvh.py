@@ -1,0 +1,85 @@
+"""Host-side acceleration-structure builder (SURVEY.md §2 row 5, §3.4).
+
+The reference builds a recursive KD-tree over triangles on the CPU and
+walks it per ray with a recursive near/far descent (SURVEY.md §3.4-3.5).
+The TPU-native redesign keeps the *build* on the host (it runs once per
+scene — NumPy is fine) but changes the *output shape* to fit how a TPU
+traverses:
+
+  a **2-level cluster BVH**: a median-split binary BVH is built over
+  triangle centroids and flattened at a fixed leaf granularity into C
+  spatially-coherent clusters of exactly ``leaf_size`` triangles
+  (zero-padded, masked).  Device arrays are emitted in cluster-major
+  order, so every cluster is one contiguous, statically-shaped slice of
+  the triangle SoA — the unit of work a TPU can test densely on the
+  MXU/VPU with no per-lane pointer chasing.
+
+Why not a deep per-ray short-stack tree walk?  A per-lane stack needs a
+data-dependent *vector gather* per step (1024 rays fetching 1024
+different nodes), which TPU vector memory does not do efficiently — the
+reference's pointer-chasing inner loop is exactly the wrong shape for a
+(8, 128)-lane vector unit.  Flattening the tree into coherent leaf
+clusters turns traversal into: one dense ray-vs-all-AABB slab pass
+(C is small), then a few dense ray-vs-cluster triangle blocks — all
+contiguous, statically shaped work.  The tree still exists; it is two
+levels deep by design.  See accel/clustered.py (XLA) and
+accel/traverse_tpu.py (Pallas) for the traversal halves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_clusters(tv, leaf_size=64, eps=1e-5, pad_clusters_to=128):
+    """Median-split BVH flattened to fixed-size leaf clusters.
+
+    tv: (T, 3, 3) float32 triangle vertices.
+    Returns (perm, pad_mask, clus_min, clus_max):
+      perm     (C*leaf_size,) int32 — source triangle index per padded
+               slot (padding slots repeat index 0 and are masked out)
+      pad_mask (C*leaf_size,) float32 — 1.0 real / 0.0 padding
+      clus_min/clus_max (C, 3) float32 — cluster AABBs (eps-padded)
+
+    C is rounded up to ``pad_clusters_to`` (the TPU lane width) with
+    inverted never-hit AABBs, so the (rays, clusters) slab matrix in the
+    traversal kernels is lane-aligned.
+    """
+    tv = np.asarray(tv, np.float32)
+    T = tv.shape[0]
+    cent = tv.mean(axis=1)                      # (T,3) centroids
+
+    clusters = []
+    stack = [np.arange(T, dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= leaf_size:
+            clusters.append(idx)
+            continue
+        c = cent[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(idx) // 2
+        stack.append(idx[order[:half]])
+        stack.append(idx[order[half:]])
+
+    C = len(clusters)
+    if pad_clusters_to:
+        C = -(-C // pad_clusters_to) * pad_clusters_to
+    L = leaf_size
+    perm = np.zeros((C * L,), np.int64)
+    mask = np.zeros((C * L,), np.float32)
+    # padding clusters: a degenerate box at t ~ 3e38 — the traversal's
+    # strict (t_enter < tmax) test can never admit it (an INVERTED box
+    # would not work: the slab test's per-axis min/max un-inverts it)
+    cmin = np.full((C, 3), 3.0e38, np.float32)
+    cmax = np.full((C, 3), 3.0e38, np.float32)
+    for ci, idx in enumerate(clusters):
+        k = len(idx)
+        perm[ci * L:ci * L + k] = idx
+        mask[ci * L:ci * L + k] = 1.0
+        pts = tv[idx].reshape(-1, 3)
+        ext = eps * max(1.0, float(np.abs(pts).max()))
+        cmin[ci] = pts.min(axis=0) - ext
+        cmax[ci] = pts.max(axis=0) + ext
+    return perm.astype(np.int32), mask, cmin, cmax

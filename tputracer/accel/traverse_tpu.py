@@ -1,0 +1,204 @@
+"""Pallas TPU traversal kernel (SURVEY.md §2 row 6, §3.5, §7 M4).
+
+The BASELINE north_star: "recursive CPU KD-tree traversal becomes an
+iterative Pallas kernel".  A literal per-lane short stack would need a
+data-dependent *vector gather* per step (every lane chasing its own node
+pointer) — the one access pattern TPU vector memory cannot do.  The
+TPU-idiomatic redesign is **tile-coherent traversal** of the 2-level
+cluster BVH (accel.bvh):
+
+  * the whole scene lives in VMEM for the kernel's lifetime (SoA
+    triangle arrays + cluster AABBs; ~4.5 MB for a 100k-tri scene with
+    leaf_size=128 — comfortably inside the ~16 MB budget);
+  * each grid step owns a TILE of rays.  It slab-tests all C cluster
+    AABBs densely (one fused VPU pass into a (TILE, C) entry-distance
+    scratch), then walks the **union** of clusters any lane still wants,
+    globally front-to-back: per visit, one scalar-indexed contiguous
+    slice of the triangle SoA and a dense (TILE, L) Moeller-Trumbore
+    test on the VPU.  "If any lane needs a cluster, the whole tile tests
+    it" — the vector analogue of the reference's per-ray near/far
+    descent, with the per-lane stack replaced by the shared entry-
+    distance matrix;
+  * per-lane early-out is the (t_enter < best_t) predicate: lanes whose
+    best hit beats every remaining entry distance stop pulling clusters
+    in, and the kernel's while-loop ends when no lane wants more — the
+    batch form of "early-out when hit.t < tmin" (SURVEY.md §3.5).
+
+Everything is statically shaped; the only dynamic addressing is a
+*scalar* cluster id slicing contiguous blocks — exactly what Mosaic
+lowers well.  Correctness oracle: accel.clustered (XLA) and brute force;
+``interpret=True`` runs the same kernel on CPU for CI (SURVEY.md §5
+"sanitizers").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tputracer.accel.bruteforce import finalize_hit
+from tputracer.accel.clustered import _detach, _sphere_best
+
+_BIG = jnp.float32(3.0e38)
+TILE = 256
+
+
+def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
+                     cmin_ref, cmax_ref, v0_ref, e1_ref, e2_ref, mask_ref,
+                     bt_out, bp_out, te_scr, vis_scr, *, leaf):
+    BIG = 3.0e38          # python literal: captured jnp constants are
+    C = cmin_ref.shape[1]  # not allowed in pallas kernels
+    tmin = tmin_ref[:]                                   # (TILE,1)
+    tmax = tmax_ref[:]
+
+    # ---- dense ray-vs-all-AABB slab pass -> entry-distance scratch ----
+    tn = jnp.full((TILE, C), -BIG)
+    tf = jnp.full((TILE, C), BIG)
+    for a in range(3):
+        da = d_ref[:, a:a + 1]                           # (TILE,1)
+        tiny = jnp.float32(1e-12)
+        inv = 1.0 / jnp.where(jnp.abs(da) < tiny,
+                              jnp.where(da >= 0.0, tiny, -tiny), da)
+        t0 = (cmin_ref[a:a + 1, :] - o_ref[:, a:a + 1]) * inv
+        t1 = (cmax_ref[a:a + 1, :] - o_ref[:, a:a + 1]) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    hit = (tn <= tf) & (tf > tmin) & (tn < tmax)
+    te_scr[:] = jnp.where(hit, jnp.maximum(tn, tmin), BIG)
+    # all vector state lives in VMEM scratch; the while-loop carries only
+    # scalars (Mosaic cannot yield vectors through scf.while)
+    vis_scr[:] = jnp.zeros((1, C), jnp.float32)
+    bt_out[:] = bt0_ref[:]
+    bp_out[:] = bp0_ref[:]
+    iota_c = lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+    def pick():
+        """Nearest unvisited cluster any lane still wants (front-to-back).
+
+        vis_scr is a (1, C) visited mask: Mosaic cannot scatter a single
+        lane column (dynamic lane indices must be 128-aligned), so
+        visiting is an iota-compare OR over the whole row, not a store.
+        """
+        score = jnp.where((te_scr[:] < bt_out[:]) & (vis_scr[:] == 0.0),
+                          te_scr[:], BIG)                    # (TILE,C)
+        colmin = jnp.min(score, axis=0)                      # (C,)
+        return jnp.argmin(colmin).astype(jnp.int32), jnp.min(colmin)
+
+    def body(state):
+        c, _ = state
+        vis_scr[:] = jnp.where(iota_c == c, 1.0, vis_scr[:])
+        bt = bt_out[:]
+        bp = bp_out[:]
+
+        # dense Moeller-Trumbore of the whole tile vs the cluster's block.
+        # multiple_of: Mosaic must statically prove lane-dim slice offsets
+        # are 128-aligned — hence the leaf %% 128 == 0 requirement for the
+        # compiled path (the dispatcher falls back to XLA otherwise).
+        sl = pl.ds(pl.multiple_of(c * leaf, 128) if leaf % 128 == 0
+                   else c * leaf, leaf)
+        v0x, v0y, v0z = (v0_ref[a:a + 1, sl] for a in range(3))  # (1,L)
+        e1x, e1y, e1z = (e1_ref[a:a + 1, sl] for a in range(3))
+        e2x, e2y, e2z = (e2_ref[a:a + 1, sl] for a in range(3))
+        msk = mask_ref[0:1, sl]
+        ox, oy, oz = (o_ref[:, a:a + 1] for a in range(3))       # (TILE,1)
+        dx, dy, dz = (d_ref[:, a:a + 1] for a in range(3))
+
+        px = dy * e2z - dz * e2y                                 # (TILE,L)
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        f = 1.0 / jnp.where(ok, det, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * px + sy * py + sz * pz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t > tmin) & (t < bt) & (msk > 0.0))
+        tblk = jnp.where(ok, t, BIG)
+
+        th = jnp.min(tblk, axis=1, keepdims=True)                # (TILE,1)
+        j = jnp.argmin(tblk, axis=1).astype(jnp.int32)[:, None]
+        imp = th < bt
+        bt_out[:] = jnp.where(imp, th, bt)
+        bp_out[:] = jnp.where(imp, c * leaf + j, bp)
+        return pick()
+
+    c0, val0 = pick()
+    lax.while_loop(lambda s: s[1] < BIG, body, (c0, val0))
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "interpret"))
+def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
+                     v0, e1, e2, mask, *, leaf, interpret=False):
+    n = o.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+
+    def pad0(x, fill=0.0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    o_p, d_p = pad0(o), pad0(d, 1.0)
+    args = (o_p, d_p,
+            pad0(tmin[:, None]), pad0(tmax[:, None]),
+            pad0(bt0[:, None]), pad0(bp0[:, None], -1),
+            cmin, cmax, v0, e1, e2, mask)
+
+    grid = (n_pad // TILE,)
+    ray2 = lambda w: pl.BlockSpec((TILE, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    C = cmin.shape[1]
+    bt, bp = pl.pallas_call(
+        functools.partial(_traverse_kernel, leaf=leaf),
+        grid=grid,
+        in_specs=[ray2(3), ray2(3), ray2(1), ray2(1), ray2(1), ray2(1),
+                  full(cmin), full(cmax), full(v0), full(e1), full(e2),
+                  full(mask)],
+        out_specs=[ray2(1), ray2(1)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((TILE, C), jnp.float32),
+                        pltpu.VMEM((1, C), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return bt[:n, 0], bp[:n, 0]
+
+
+def intersect_pallas(scene, o, d, tmin, tmax, interpret=False):
+    """Closest hit via the Pallas tile-coherent kernel (Hit SoA)."""
+    od, dd, tn, tx = _detach(o, d, tmin, tmax)
+    sc = lax.stop_gradient(scene)
+    bt0, bp0 = _sphere_best(sc, od, dd, tn, tx)
+    bt0 = jnp.minimum(bt0, tx)
+    t, prim = _traverse_pallas(
+        od, dd, tn, tx, bt0, bp0,
+        sc.clus_min.T, sc.clus_max.T,
+        sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
+        leaf=scene.leaf_size, interpret=interpret)
+    return finalize_hit(scene, o, d, t, prim, t < tmax)
+
+
+def occluded_pallas(scene, o, d, tmax, interpret=False):
+    """Any-hit shadow predicate via the same kernel (nearest-hit form)."""
+    o, d, tmax = _detach(o, d, tmax)
+    sc = lax.stop_gradient(scene)
+    tmin = jnp.zeros(o.shape[:1], jnp.float32)
+    bt0, _ = _sphere_best(sc, o, d, tmin, tmax)
+    t, _ = _traverse_pallas(
+        o, d, tmin, tmax, jnp.minimum(bt0, tmax),
+        jnp.full(o.shape[:1], -1, jnp.int32),
+        sc.clus_min.T, sc.clus_max.T,
+        sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
+        leaf=scene.leaf_size, interpret=interpret)
+    return t < tmax

@@ -20,7 +20,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="tputracer")
     ap.add_argument("--scene", default="boxes",
                     choices=["empty", "boxes", "spheres", "glass_sphere",
-                             "caustic", "furnace"])
+                             "caustic", "furnace", "mesh", "mesh_small"])
+    ap.add_argument("--obj", default=None,
+                    help="render an OBJ file instead of a named scene")
     ap.add_argument("--integrator", default="pt", choices=["pt", "bdpt"])
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--spp", type=int, default=16)
@@ -35,9 +37,18 @@ def main(argv=None):
 
     from tputracer.config import BdptConfig, RenderConfig
     from tputracer.film import save_png
-    from tputracer.scene import cornell_box, furnace
+    from tputracer.scene import cornell_box, furnace, mesh_scene, obj_scene
 
-    scene = furnace() if args.scene == "furnace" else cornell_box(args.scene)
+    if args.obj:
+        scene = obj_scene(args.obj)
+    elif args.scene == "furnace":
+        scene = furnace()
+    elif args.scene == "mesh":
+        scene = mesh_scene(subdiv=6)      # ~82k-tri blob (BASELINE config 3)
+    elif args.scene == "mesh_small":
+        scene = mesh_scene(subdiv=4)
+    else:
+        scene = cornell_box(args.scene)
 
     if args.integrator == "pt":
         from tputracer.api import render as run

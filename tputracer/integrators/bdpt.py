@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from tputracer import geometry as g
 from tputracer import rng
-from tputracer.accel import intersect_brute, occluded_brute
+from tputracer.accel import intersect, occluded
 from tputracer.bsdf import emitted, eval_bsdf, pdf_bsdf, sample_bsdf
 from tputracer.integrators.pt import camera_rays, film_from_radiance
 from tputracer.lights import pdf_light_area, sample_light
@@ -113,7 +113,7 @@ def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
     alive = jnp.ones((n,), bool)
     verts = []
     for i in range(n_verts):
-        hit = intersect_brute(scene, o, d, tmin=zeros1,
+        hit = intersect(scene, o, d, tmin=zeros1,
                               tmax=jnp.full((n,), _BIG))
         valid = alive & hit.valid
         pdf_fwd = _convert_density(pdf_sa, prev_p, hit.p, hit.n)
@@ -328,7 +328,7 @@ def trace_bdpt(scene, uid, cfg):
                     & jnp.logical_not(y["delta"])
                     & (jnp.max(c, axis=-1) > 0.0))
             o_s = z["p"] + g.face_forward(z["ng"], d_zy) * eps
-            occ = occluded_brute(scene, o_s, d_zy, tmax=dist * (1.0 - 1e-3))
+            occ = occluded(scene, o_s, d_zy, tmax=dist * (1.0 - 1e-3))
             mask = mask & jnp.logical_not(occ)
             w = _mis_weight(scene, cam, ys, zs, s, t)
             L_own = L_own + jnp.where(mask[:, None], c * w[:, None], 0.0)
@@ -365,7 +365,7 @@ def trace_bdpt(scene, uid, cfg):
         c = y["beta"] * f_y * (imp * cos_y / dist2)[:, None]
         mask = (y["valid"] & jnp.logical_not(y["delta"]) & on_film
                 & (jnp.max(c, axis=-1) > 0.0))
-        occ = occluded_brute(
+        occ = occluded(
             scene, jnp.broadcast_to(cam.o[None, :], (n, 3)), d_cy,
             tmax=dist * (1.0 - 1e-3))
         mask = mask & jnp.logical_not(occ)

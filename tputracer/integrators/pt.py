@@ -30,7 +30,7 @@ from jax import lax
 
 from tputracer import geometry as g
 from tputracer import rng
-from tputracer.accel import intersect_brute, occluded_brute
+from tputracer.accel import intersect, occluded
 from tputracer.bsdf import emitted, eval_bsdf, pdf_bsdf, sample_bsdf
 from tputracer.lights import pdf_light_area, sample_light
 
@@ -77,7 +77,7 @@ def trace_radiance(scene, uid, cfg):
     eps = jnp.float32(scene.eps)
 
     for b in range(cfg.max_bounces + 1):
-        hit = intersect_brute(scene, o, d, tmin=zeros1, tmax=jnp.full((n,), _BIG))
+        hit = intersect(scene, o, d, tmin=zeros1, tmax=jnp.full((n,), _BIG))
         active = alive & hit.valid
         alive_counts.append(jnp.sum(active.astype(jnp.float32)))
 
@@ -115,7 +115,7 @@ def trace_radiance(scene, uid, cfg):
         geom_ok = (cos_p > 0.0) & (cos_l > 1e-6)
         f = eval_bsdf(scene, hit.mat, hit.n, wo, wi_l)
         so = hit.p + ns * eps
-        occ = occluded_brute(scene, so, wi_l, tmax=dist * (1.0 - 1e-3))
+        occ = occluded(scene, so, wi_l, tmax=dist * (1.0 - 1e-3))
         pdf_sa = pdf_a * dist2 / jnp.maximum(cos_l, 1e-6)
         if cfg.mis:
             pb = pdf_bsdf(scene, hit.mat, hit.n, wo, wi_l)

@@ -8,3 +8,8 @@ from tputracer.scene.types import (  # noqa: F401
     make_scene,
 )
 from tputracer.scene.cornell import cornell_box, furnace  # noqa: F401
+from tputracer.scene.mesh import (  # noqa: F401
+    load_obj,
+    mesh_scene,
+    obj_scene,
+)

@@ -69,11 +69,18 @@ class Scene:
     emit_prim: jnp.ndarray  # (E,) int32 triangle ids
     emit_area: jnp.ndarray  # (E,) f32 triangle areas
 
+    # 2-level cluster BVH (accel.bvh; empty => brute-force intersection).
+    # Triangle arrays are laid out cluster-major: cluster c owns the
+    # contiguous slice [c*leaf_size, (c+1)*leaf_size).
+    clus_min: jnp.ndarray  # (C,3) cluster AABB minima
+    clus_max: jnp.ndarray  # (C,3) cluster AABB maxima
+
     camera: Camera
 
     # statics (hashable; shape-affecting)
     n_tris: int = struct.field(pytree_node=False, default=0)
     eps: float = struct.field(pytree_node=False, default=1e-4)
+    leaf_size: int = struct.field(pytree_node=False, default=128)
 
     @property
     def n_tri_pad(self):
@@ -86,6 +93,10 @@ class Scene:
     @property
     def n_emitters(self):
         return self.emit_prim.shape[0]
+
+    @property
+    def n_clusters(self):
+        return self.clus_min.shape[0]
 
 
 def make_camera(o, look_at, up, vfov_deg, aspect):
@@ -136,26 +147,49 @@ def make_scene(
     camera=None,
     pad_to=64,
     eps=1e-4,
+    accel="auto",      # "auto" | "cluster" | "none"
+    leaf_size=128,     # 128 = lane-aligned for the Pallas traversal kernel
+    cluster_threshold=2048,  # "auto": cluster scenes above this tri count
 ):
     """Host-side scene finalization: SoA arrays + Pluecker precompute + padding.
 
     This is the TPU analogue of the reference's ``Scene::load`` (SURVEY.md
-    §3.1): everything becomes flat device arrays, uploaded once.
+    §3.1): everything becomes flat device arrays, uploaded once.  Large
+    meshes additionally get the 2-level cluster BVH (accel.bvh): the
+    triangle SoA is emitted in cluster-major order with per-cluster AABBs,
+    which is what the TPU traversal kernels consume.
     """
     tv = np.asarray(tri_vertices, np.float32)
     assert tv.ndim == 3 and tv.shape[1:] == (3, 3), tv.shape
     T = tv.shape[0]
-    Tp = max(pad_to, int(np.ceil(T / pad_to)) * pad_to)
 
-    v0 = np.zeros((Tp, 3), np.float32)
-    v1 = np.zeros((Tp, 3), np.float32)
-    v2 = np.zeros((Tp, 3), np.float32)
-    v0[:T], v1[:T], v2[:T] = tv[:, 0], tv[:, 1], tv[:, 2]
-    # padding rows: keep degenerate (zeros); masked out via tri_mask
-    mat = np.zeros((Tp,), np.int32)
-    mat[:T] = np.asarray(tri_mat, np.int32)
-    mask = np.zeros((Tp,), np.float32)
-    mask[:T] = 1.0
+    use_clusters = accel == "cluster" or (
+        accel == "auto" and T > cluster_threshold)
+    if use_clusters:
+        from tputracer.accel.bvh import build_clusters
+
+        perm, mask, cmin, cmax = build_clusters(tv, leaf_size=leaf_size)
+        Tp = perm.shape[0]
+        # padding slots repeat triangle 0; zero their geometry so they are
+        # degenerate (never intersected) and point them at material 0
+        v0 = tv[perm, 0] * mask[:, None]
+        v1 = tv[perm, 1] * mask[:, None]
+        v2 = tv[perm, 2] * mask[:, None]
+        mat = (np.asarray(tri_mat, np.int32)[perm]
+               * (mask > 0)).astype(np.int32)
+    else:
+        Tp = max(pad_to, int(np.ceil(T / pad_to)) * pad_to)
+        v0 = np.zeros((Tp, 3), np.float32)
+        v1 = np.zeros((Tp, 3), np.float32)
+        v2 = np.zeros((Tp, 3), np.float32)
+        v0[:T], v1[:T], v2[:T] = tv[:, 0], tv[:, 1], tv[:, 2]
+        # padding rows: keep degenerate (zeros); masked out via tri_mask
+        mat = np.zeros((Tp,), np.int32)
+        mat[:T] = np.asarray(tri_mat, np.int32)
+        mask = np.zeros((Tp,), np.float32)
+        mask[:T] = 1.0
+        cmin = np.zeros((0, 3), np.float32)
+        cmax = np.zeros((0, 3), np.float32)
 
     e1 = v1 - v0
     e2 = v2 - v0
@@ -197,7 +231,10 @@ def make_scene(
         mat_ior=jnp.asarray(m_ior),
         emit_prim=jnp.asarray(emit_ids),
         emit_area=jnp.asarray(areas),
+        clus_min=jnp.asarray(cmin),
+        clus_max=jnp.asarray(cmax),
         camera=camera,
         n_tris=T,
         eps=float(eps),
+        leaf_size=int(leaf_size),
     )
