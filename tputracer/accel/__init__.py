@@ -32,6 +32,14 @@ def _use_pallas(scene):
     return scene.leaf_size % 128 == 0 and jax.default_backend() == "tpu"
 
 
+def _use_fused(scene):
+    """Fused Pallas intersection for non-clustered scenes on TPU: needs
+    the padded triangle count 128-aligned (make_scene default)."""
+    if os.environ.get("TPUTRACER_NO_PALLAS"):
+        return False
+    return scene.n_tri_pad % 128 == 0 and jax.default_backend() == "tpu"
+
+
 def intersect(scene, o, d, tmin, tmax) -> Hit:
     """Closest-hit over the scene; backend picked by scene layout."""
     if scene.n_clusters:
@@ -40,6 +48,10 @@ def intersect(scene, o, d, tmin, tmax) -> Hit:
 
             return intersect_pallas(scene, o, d, tmin, tmax)
         return intersect_clustered(scene, o, d, tmin, tmax)
+    if _use_fused(scene):
+        from tputracer.accel.intersect_tpu import intersect_fused
+
+        return intersect_fused(scene, o, d, tmin, tmax)
     return intersect_brute(scene, o, d, tmin, tmax)
 
 
@@ -51,4 +63,8 @@ def occluded(scene, o, d, tmax):
 
             return occluded_pallas(scene, o, d, tmax)
         return occluded_clustered(scene, o, d, tmax)
+    if _use_fused(scene):
+        from tputracer.accel.intersect_tpu import occluded_fused
+
+        return occluded_fused(scene, o, d, tmax)
     return occluded_brute(scene, o, d, tmax)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tputracer import geometry as g
+from tputracer.lookup import fetch, fetch_int
 
 _BIG = jnp.float32(3.0e38)
 
@@ -108,15 +109,17 @@ def finalize_hit(scene, o, d, t, prim, valid) -> Hit:
     # poisons gradients through the (masked) NEE math downstream
     p = o + jnp.where(valid, t, 1.0)[:, None] * d
     tri_id = jnp.where(is_tri, prim, 0)
-    n_tri = g.normalize(scene.tri_n[tri_id])
+    n_tri = g.normalize(fetch(scene.tri_n, tri_id))
     if scene.n_spheres:
         sph_id = jnp.where(is_tri, 0, prim - Tp)
-        n_sph = (p - scene.sph_c[sph_id]) / scene.sph_r[sph_id][:, None]
+        n_sph = (p - fetch(scene.sph_c, sph_id)) \
+            / fetch(scene.sph_r, sph_id)[:, None]
         n = jnp.where(is_tri[:, None], n_tri, n_sph)
-        mat = jnp.where(is_tri, scene.tri_mat[tri_id], scene.sph_mat[sph_id])
+        mat = jnp.where(is_tri, fetch_int(scene.tri_mat, tri_id),
+                        fetch_int(scene.sph_mat, sph_id))
     else:
         n = n_tri
-        mat = scene.tri_mat[tri_id]
+        mat = fetch_int(scene.tri_mat, tri_id)
 
     return Hit(
         t=t,

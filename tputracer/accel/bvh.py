@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def build_clusters(tv, leaf_size=64, eps=1e-5, pad_clusters_to=128):
+def build_clusters(tv, leaf_size=64, eps=1e-5, pad_clusters_to=8):
     """Median-split BVH flattened to fixed-size leaf clusters.
 
     tv: (T, 3, 3) float32 triangle vertices.
@@ -41,9 +41,10 @@ def build_clusters(tv, leaf_size=64, eps=1e-5, pad_clusters_to=128):
       pad_mask (C*leaf_size,) float32 — 1.0 real / 0.0 padding
       clus_min/clus_max (C, 3) float32 — cluster AABBs (eps-padded)
 
-    C is rounded up to ``pad_clusters_to`` (the TPU lane width) with
-    inverted never-hit AABBs, so the (rays, clusters) slab matrix in the
-    traversal kernels is lane-aligned.
+    C is rounded up to ``pad_clusters_to`` (TPU sublane width — Mosaic
+    pads lanes internally) with never-hit AABBs so the (rays, clusters)
+    slab matrix in the traversal kernels tiles cleanly without blowing
+    up small scenes.
     """
     tv = np.asarray(tv, np.float32)
     T = tv.shape[0]

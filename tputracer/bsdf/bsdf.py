@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tputracer import geometry as g
+from tputracer.lookup import fetch, fetch_int
 from tputracer.scene.types import DIFFUSE, GLASS, MIRROR
 
 INV_PI = jnp.float32(1.0 / jnp.pi)
@@ -33,24 +34,24 @@ INV_PI = jnp.float32(1.0 / jnp.pi)
 
 def emitted(scene, mat, n, d_in):
     """One-sided emitted radiance toward the ray (-d_in). (N,3)."""
-    le = scene.mat_emission[mat]                     # (N,3)
+    le = fetch(scene.mat_emission, mat)              # (N,3)
     front = (g.dot(d_in, n) < 0.0)[:, None]
     return jnp.where(front, le, 0.0)
 
 
 def eval_bsdf(scene, mat, n, wo, wi):
     """f(wo, wi) — nonzero only for the diffuse lobe (deltas never eval)."""
-    kind = scene.mat_kind[mat]
+    kind = fetch_int(scene.mat_kind, mat)
     ns = g.face_forward(n, wo)
     same_side = (g.dot(wi, ns) > 0.0) & (g.dot(wo, ns) > 0.0)
-    f_diff = scene.mat_albedo[mat] * INV_PI
+    f_diff = fetch(scene.mat_albedo, mat) * INV_PI
     sel = (kind == DIFFUSE) & same_side
     return jnp.where(sel[:, None], f_diff, 0.0)
 
 
 def pdf_bsdf(scene, mat, n, wo, wi):
     """Solid-angle sampling pdf of :func:`sample_bsdf` for MIS (diffuse only)."""
-    kind = scene.mat_kind[mat]
+    kind = fetch_int(scene.mat_kind, mat)
     ns = g.face_forward(n, wo)
     cos_i = g.dot(wi, ns)
     p = jnp.maximum(cos_i, 0.0) * INV_PI
@@ -77,8 +78,8 @@ def sample_bsdf(scene, mat, n, wo, u0, u1, u2, transport_radiance=True):
       weight = f * |cos| / pdf   (with detached-pdf gradient trick)
       pdf    = solid-angle pdf (0 for delta lobes)
     """
-    kind = scene.mat_kind[mat]
-    albedo = scene.mat_albedo[mat]                   # (N,3)
+    kind = fetch_int(scene.mat_kind, mat)
+    albedo = fetch(scene.mat_albedo, mat)            # (N,3)
     ns = g.face_forward(n, wo)                       # shading-side normal
 
     # --- diffuse: cosine-hemisphere ---
@@ -92,7 +93,7 @@ def sample_bsdf(scene, mat, n, wo, u0, u1, u2, transport_radiance=True):
 
     # --- glass: Fresnel-weighted reflect-or-refract ---
     entering = g.dot(wo, n) > 0.0
-    ior = scene.mat_ior[mat]
+    ior = fetch(scene.mat_ior, mat)
     eta_i = jnp.where(entering, 1.0, ior)
     eta_t = jnp.where(entering, ior, 1.0)
     cos_i = jnp.abs(g.dot(wo, ns))

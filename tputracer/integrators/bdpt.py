@@ -51,6 +51,7 @@ from tputracer.accel import intersect, occluded
 from tputracer.bsdf import emitted, eval_bsdf, pdf_bsdf, sample_bsdf
 from tputracer.integrators.pt import camera_rays, film_from_radiance
 from tputracer.lights import pdf_light_area, sample_light
+from tputracer.lookup import fetch_int
 from tputracer.scene.types import DIFFUSE
 
 _BIG = jnp.float32(3.0e38)
@@ -117,7 +118,7 @@ def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
                               tmax=jnp.full((n,), _BIG))
         valid = alive & hit.valid
         pdf_fwd = _convert_density(pdf_sa, prev_p, hit.p, hit.n)
-        kind = scene.mat_kind[hit.mat]
+        kind = fetch_int(scene.mat_kind, hit.mat)
         v = dict(
             p=hit.p,
             ng=hit.n,
@@ -269,7 +270,7 @@ def trace_bdpt(scene, uid, cfg):
 
     # ---- light subpath: emitter sample + importance-transport walk ----
     u0, u1, u2 = rng.uniform3(uid, rng.salt(0, rng.SLOT_LIGHT_ORIGIN), cfg.seed)
-    yp, n_l, le, pdf_a, lprim = sample_light(scene, u0, u1, u2)
+    yp, n_l, le, pdf_a, lprim, lmat = sample_light(scene, u0, u1, u2)
     y0 = dict(
         p=yp,
         ng=n_l,
@@ -277,7 +278,7 @@ def trace_bdpt(scene, uid, cfg):
         beta=le / pdf_a[:, None],
         pdf_fwd=pdf_a,
         pdf_rev=zeros1,
-        mat=scene.tri_mat[lprim],
+        mat=lmat,
         prim=lprim,
         delta=jnp.zeros((n,), bool),
         valid=jnp.ones((n,), bool),

@@ -105,7 +105,7 @@ def trace_radiance(scene, uid, cfg):
 
         # ---- next-event estimation (SURVEY.md §3.2 NEE block) ----
         ul0, ul1, ul2 = rng.uniform3(uid, rng.salt(b, rng.SLOT_LIGHT), cfg.seed)
-        y, n_l, le_l, pdf_a, _ = sample_light(scene, ul0, ul1, ul2)
+        y, n_l, le_l, pdf_a, _, _ = sample_light(scene, ul0, ul1, ul2)
         to_l = y - hit.p
         dist2 = jnp.maximum(g.dot(to_l, to_l), 1e-12)
         dist = jnp.sqrt(dist2)

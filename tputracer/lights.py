@@ -14,30 +14,37 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tputracer import geometry as g
+from tputracer.lookup import fetch, fetch_int
 
 
 def sample_light(scene, u0, u1, u2):
     """Sample one emitter point per lane.
 
     u0,u1,u2: (N,) uniforms.
-    Returns (y, n_l, le, pdf_area, prim):
+    Returns (y, n_l, le, pdf_area, prim, mat):
       y        (N,3) point on the light
       n_l      (N,3) unit normal of the light (winding side = emitting side)
-      le       (N,3) emitted radiance
+      le       (N,3) emitted radiance (differentiable via mat_emission)
       pdf_area (N,)  area-measure pdf of y (uniform emitter pick x uniform area)
       prim     (N,)  int32 triangle id of the sampled emitter
+      mat      (N,)  int32 material id of the emitter
+
+    All lookups run against the COMPACT (E,)-row emitter tables through
+    tputracer.lookup — no gathers from the big triangle SoA.
     """
     E = scene.n_emitters
     idx = jnp.minimum((u0 * E).astype(jnp.int32), E - 1)   # (N,)
-    prim = scene.emit_prim[idx]                            # (N,) triangle id
-    area = scene.emit_area[idx]
+    prim = fetch_int(scene.emit_prim, idx)                 # (N,) triangle id
+    mat = fetch_int(scene.emit_mat, idx)
+    area = fetch(scene.emit_area, idx)
     b1, b2 = g.uniform_sample_triangle(u1, u2)
-    v0 = scene.tri_v0[prim]
-    y = v0 + b1[:, None] * scene.tri_e1[prim] + b2[:, None] * scene.tri_e2[prim]
-    n_l = g.normalize(scene.tri_n[prim])
-    le = scene.mat_emission[scene.tri_mat[prim]]
+    y = (fetch(scene.emit_v0, idx)
+         + b1[:, None] * fetch(scene.emit_e1, idx)
+         + b2[:, None] * fetch(scene.emit_e2, idx))
+    n_l = fetch(scene.emit_n, idx)
+    le = fetch(scene.mat_emission, mat)
     pdf_area = 1.0 / (area * E)
-    return y, n_l, le, pdf_area, prim
+    return y, n_l, le, pdf_area, prim, mat
 
 
 def pdf_light_area(scene, prim):

@@ -57,7 +57,7 @@ def _box(lo, hi):
     return tris
 
 
-def cornell_box(variant="boxes", aspect=1.0, light_scale=1.0, pad_to=64):
+def cornell_box(variant="boxes", aspect=1.0, light_scale=1.0, pad_to=128):
     """Classic Cornell box in [0,1]^3 (x right, y up, z into the box).
 
     variant:

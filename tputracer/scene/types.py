@@ -65,9 +65,17 @@ class Scene:
     mat_emission: jnp.ndarray  # (M,3) radiance of emissive surfaces
     mat_ior: jnp.ndarray       # (M,) index of refraction for GLASS
 
-    # emitters: emissive triangle ids + areas (uniform-area light sampling)
+    # emitters: emissive triangle ids + areas (uniform-area light sampling),
+    # plus a COMPACT copy of their geometry/material so light sampling
+    # never gathers from the big triangle tables (tputracer.lookup: TPU
+    # gathers are ~230x slower than small one-hot contractions)
     emit_prim: jnp.ndarray  # (E,) int32 triangle ids
     emit_area: jnp.ndarray  # (E,) f32 triangle areas
+    emit_v0: jnp.ndarray    # (E,3)
+    emit_e1: jnp.ndarray    # (E,3)
+    emit_e2: jnp.ndarray    # (E,3)
+    emit_n: jnp.ndarray     # (E,3) unit normals (emitting side)
+    emit_mat: jnp.ndarray   # (E,) int32 material ids (Le via mat_emission)
 
     # 2-level cluster BVH (accel.bvh; empty => brute-force intersection).
     # Triangle arrays are laid out cluster-major: cluster c owns the
@@ -145,7 +153,7 @@ def make_scene(
     materials,         # list of dicts: kind, albedo, emission, ior
     spheres=(),        # list of (center(3), radius, mat_id)
     camera=None,
-    pad_to=64,
+    pad_to=128,   # 128-aligned: enables the fused Pallas intersector on TPU
     eps=1e-4,
     accel="auto",      # "auto" | "cluster" | "none"
     leaf_size=128,     # 128 = lane-aligned for the Pallas traversal kernel
@@ -231,6 +239,14 @@ def make_scene(
         mat_ior=jnp.asarray(m_ior),
         emit_prim=jnp.asarray(emit_ids),
         emit_area=jnp.asarray(areas),
+        emit_v0=jnp.asarray(v0[emit_ids]),
+        emit_e1=jnp.asarray(e1[emit_ids]),
+        emit_e2=jnp.asarray(e2[emit_ids]),
+        emit_n=jnp.asarray(
+            n[emit_ids]
+            / np.maximum(np.linalg.norm(n[emit_ids], axis=1, keepdims=True),
+                         1e-20).astype(np.float32)),
+        emit_mat=jnp.asarray(mat[emit_ids]),
         clus_min=jnp.asarray(cmin),
         clus_max=jnp.asarray(cmax),
         camera=camera,
