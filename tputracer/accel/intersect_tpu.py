@@ -60,6 +60,7 @@ def _fused_kernel(feat_ref, o_ref, d_ref, tmin_ref, tmax_ref,
                 plu_ref[e, sl, :], feat_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             for e in range(3)
         )                                                # (BLK,TILE)

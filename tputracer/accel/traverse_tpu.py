@@ -49,8 +49,8 @@ TILE = 256
 
 
 def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
-                     cmin_ref, cmax_ref, plu_ref, trin_ref, v0n_ref,
-                     mask_ref, bt_out, bp_out, te_scr, vis_scr, *, leaf):
+                     cmin_ref, cmax_ref, v0_ref, e1_ref, e2_ref, mask_ref,
+                     bt_out, bp_out, te_scr, vis_scr, *, leaf):
     BIG = 3.0e38          # python literal: captured jnp constants are
     C = cmin_ref.shape[1]  # not allowed in pallas kernels
     tmin = tmin_ref[:]                                   # (TILE,1)
@@ -89,46 +89,40 @@ def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
         colmin = jnp.min(score, axis=0)                      # (C,)
         return jnp.argmin(colmin).astype(jnp.int32), jnp.min(colmin)
 
-    # ray Pluecker feature [d, o x d] — one (TILE, 6) matrix per tile;
-    # every cluster visit is then 3 MXU matmuls instead of ~50 VPU ops
-    # per (ray, tri) pair (same contraction as accel.bruteforce)
-    ox, oy, oz = (o_ref[:, a:a + 1] for a in range(3))           # (TILE,1)
-    dx, dy, dz = (d_ref[:, a:a + 1] for a in range(3))
-    mx = oy * dz - oz * dy
-    my = oz * dx - ox * dz
-    mz = ox * dy - oy * dx
-    feat = jnp.concatenate([dx, dy, dz, mx, my, mz], axis=1)     # (TILE,6)
-
     def body(state):
         c, _ = state
         vis_scr[:] = jnp.where(iota_c == c, 1.0, vis_scr[:])
         bt = bt_out[:]
         bp = bp_out[:]
 
-        # dense Pluecker test of the whole tile vs the cluster's block.
+        # dense Moeller-Trumbore of the whole tile vs the cluster's block.
         # multiple_of: Mosaic must statically prove lane-dim slice offsets
         # are 128-aligned — hence the leaf %% 128 == 0 requirement for the
         # compiled path (the dispatcher falls back to XLA otherwise).
         sl = pl.ds(pl.multiple_of(c * leaf, 128) if leaf % 128 == 0
                    else c * leaf, leaf)
-        w0, w1, w2 = (
-            jax.lax.dot_general(
-                feat, plu_ref[e, :, sl],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for e in range(3)
-        )                                                        # (TILE,L)
-        pos = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-        neg = (w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+        v0x, v0y, v0z = (v0_ref[a:a + 1, sl] for a in range(3))  # (1,L)
+        e1x, e1y, e1z = (e1_ref[a:a + 1, sl] for a in range(3))
+        e2x, e2y, e2z = (e2_ref[a:a + 1, sl] for a in range(3))
+        msk = mask_ref[0:1, sl]
+        ox, oy, oz = (o_ref[:, a:a + 1] for a in range(3))       # (TILE,1)
+        dx, dy, dz = (d_ref[:, a:a + 1] for a in range(3))
 
-        njx, njy, njz = (trin_ref[a:a + 1, sl] for a in range(3))  # (1,L)
-        d_dot_n = dx * njx + dy * njy + dz * njz                 # (TILE,L)
-        o_dot_n = ox * njx + oy * njy + oz * njz
-        ok = jnp.abs(d_dot_n) > 1e-12
-        t = (v0n_ref[0:1, sl] - o_dot_n) / jnp.where(ok, d_dot_n, 1.0)
-        ok = (ok & (pos | neg) & (t > tmin) & (t < bt)
-              & (mask_ref[0:1, sl] > 0.0))
+        px = dy * e2z - dz * e2y                                 # (TILE,L)
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        f = 1.0 / jnp.where(ok, det, 1.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * px + sy * py + sz * pz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t > tmin) & (t < bt) & (msk > 0.0))
         tblk = jnp.where(ok, t, BIG)
 
         th = jnp.min(tblk, axis=1, keepdims=True)                # (TILE,1)
@@ -144,7 +138,7 @@ def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
 
 @functools.partial(jax.jit, static_argnames=("leaf", "interpret"))
 def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
-                     plu, trin, v0n, mask, *, leaf, interpret=False):
+                     v0, e1, e2, mask, *, leaf, interpret=False):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -157,7 +151,7 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
     args = (o_p, d_p,
             pad0(tmin[:, None]), pad0(tmax[:, None]),
             pad0(bt0[:, None]), pad0(bp0[:, None], -1),
-            cmin, cmax, plu, trin, v0n, mask)
+            cmin, cmax, v0, e1, e2, mask)
 
     grid = (n_pad // TILE,)
     ray2 = lambda w: pl.BlockSpec((TILE, w), lambda i: (i, 0),
@@ -169,7 +163,7 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
         functools.partial(_traverse_kernel, leaf=leaf),
         grid=grid,
         in_specs=[ray2(3), ray2(3), ray2(1), ray2(1), ray2(1), ray2(1),
-                  full(cmin), full(cmax), full(plu), full(trin), full(v0n),
+                  full(cmin), full(cmax), full(v0), full(e1), full(e2),
                   full(mask)],
         out_specs=[ray2(1), ray2(1)],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
@@ -190,9 +184,7 @@ def intersect_pallas(scene, o, d, tmin, tmax, interpret=False):
     t, prim = _traverse_pallas(
         od, dd, tn, tx, bt0, bp0,
         sc.clus_min.T, sc.clus_max.T,
-        sc.plu, sc.tri_n.T,
-        jnp.sum(sc.tri_v0 * sc.tri_n, axis=-1)[None, :],
-        sc.tri_mask[None, :],
+        sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
         leaf=scene.leaf_size, interpret=interpret)
     return finalize_hit(scene, o, d, t, prim, t < tmax)
 
@@ -207,8 +199,6 @@ def occluded_pallas(scene, o, d, tmax, interpret=False):
         o, d, tmin, tmax, jnp.minimum(bt0, tmax),
         jnp.full(o.shape[:1], -1, jnp.int32),
         sc.clus_min.T, sc.clus_max.T,
-        sc.plu, sc.tri_n.T,
-        jnp.sum(sc.tri_v0 * sc.tri_n, axis=-1)[None, :],
-        sc.tri_mask[None, :],
+        sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
         leaf=scene.leaf_size, interpret=interpret)
     return t < tmax
