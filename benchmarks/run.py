@@ -23,10 +23,12 @@ import numpy as np
 
 
 def _timed(fn, reps=5):
-    out = fn()
-    jaxify(out)
-    out = fn()
-    jaxify(out)
+    # bench.py protocol: two warmup reps with a FULL host fetch (the axon
+    # backend's block_until_ready can return before the dispatch completes
+    # unless a real transfer has drained the stream), then the median of
+    # blocking reps.
+    _fetch(fn())
+    _fetch(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -34,6 +36,13 @@ def _timed(fn, reps=5):
         jaxify(out)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def _fetch(x):
+    import jax
+
+    for leaf in jax.tree.leaves(x):
+        np.asarray(leaf)
 
 
 def jaxify(x):

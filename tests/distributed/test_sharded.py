@@ -36,6 +36,24 @@ def test_sharded_render_bitwise_matches_single_device(scene, shape, names):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
 
 
+def test_bdpt_sharded_matches_single_device(scene):
+    """Sharded BDPT == single-device BDPT (splat film psum reduces in a
+    different float order, so allclose rather than bitwise)."""
+    import numpy as np
+
+    from tputracer.api import render_bdpt
+    from tputracer.config import BdptConfig
+    from tputracer.dist import make_mesh, render_bdpt_sharded
+
+    cfg = BdptConfig(width=8, height=8, spp=4, max_bounces=2, seed=3,
+                     chunk_size=8 * 8 * 4)
+    ref, _ = render_bdpt(scene, cfg)
+    mesh = make_mesh((4,), ("dp",))
+    img = render_bdpt_sharded(scene, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fit_step_sharded_matches_single_device_grads(scene):
     target, _ = render(scene, CFG)
     params = {"mat_albedo": scene.mat_albedo * 0.5}

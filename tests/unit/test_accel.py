@@ -130,6 +130,20 @@ def test_mesh_scene_grad():
     assert np.isfinite(gn) and gn > 0.0
 
 
+def test_sort_rays_invariance():
+    """M5 wavefront sorting: counter-based RNG keyed on uid makes the
+    render invariant under per-bounce permutation (SURVEY.md §7 M5)."""
+    from tputracer.api import render
+    from tputracer.config import RenderConfig
+
+    scene = mesh_scene(subdiv=3, leaf_size=32, accel="cluster")
+    cfg = RenderConfig(width=12, height=12, spp=2, max_bounces=3,
+                       rr_start=2, chunk_size=12 * 12 * 2)
+    a = np.asarray(render(scene, cfg)[0])
+    b = np.asarray(render(scene, cfg.with_(sort_rays=True))[0])
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 def test_obj_loader_roundtrip():
     obj = """
 v 0 0 0

@@ -23,6 +23,11 @@ class RenderConfig:
                                   # MIS between NEE and BSDF sampling
     chunk_size: int = 1 << 20     # wavefront paths per chunk (memory knob)
     transport_radiance: bool = True
+    sort_rays: bool = False       # M5: re-sort the wavefront by (alive,
+                                  # direction octant, origin cell) each
+                                  # bounce — traversal-coherence knob for
+                                  # clustered scenes; costs a full-state
+                                  # permutation per bounce (see pt.py)
 
     def with_(self, **kw):
         return replace(self, **kw)

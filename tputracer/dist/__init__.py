@@ -1,5 +1,6 @@
 from tputracer.dist.mesh import (  # noqa: F401
     fit_step_sharded,
     make_mesh,
+    render_bdpt_sharded,
     render_sharded,
 )

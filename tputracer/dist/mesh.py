@@ -80,6 +80,7 @@ def _render_sharded_jit(scene, cfg, mesh):
     f = shard_map(
         shard_body,
         mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
         in_specs=(_replicated(scene), P(axes)),
         out_specs=(P(axes), P(axes)),
     )
@@ -93,6 +94,47 @@ def render_sharded(scene, cfg, mesh):
     Bitwise-identical to api.render for any mesh shape (pixel-keyed RNG).
     """
     return _render_sharded_jit(scene, cfg, mesh)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _render_bdpt_sharded_jit(scene, cfg, mesh):
+    from tputracer.integrators.bdpt import trace_bdpt_rows
+
+    axes = mesh.axis_names
+    n_shards = int(np.prod(mesh.devices.shape))
+    rows_per = _check_divisible(cfg, n_shards)
+    n_total = cfg.width * cfg.height * cfg.spp
+
+    def shard_body(scene, uids):
+        L_own, splat = trace_bdpt_rows(scene, uids, cfg)
+        img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
+        # t=1 splats land on ARBITRARY pixels: all-reduce the splat film
+        # over the mesh, then each shard keeps its own row block
+        splat = jax.lax.psum(splat, axes)
+        i = jnp.int32(0)
+        for ax in axes:
+            i = i * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        rows = jax.lax.dynamic_slice(
+            splat.reshape(cfg.height, cfg.width, 3),
+            (i * rows_per, 0, 0), (rows_per, cfg.width, 3))
+        return img + rows / jnp.float32(n_total)
+
+    uids = jnp.arange(n_total, dtype=jnp.uint32)
+    f = shard_map(
+        shard_body,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+        in_specs=(_replicated(scene), P(axes)),
+        out_specs=P(axes),
+    )
+    return f(scene, uids)[::-1]  # global flip: row 0 = top
+
+
+def render_bdpt_sharded(scene, cfg, mesh):
+    """Full-frame BDPT render sharded over the mesh (rays DP over rows;
+    light-tracing splat film psum over ICI).  Matches api.render_bdpt up
+    to float reduction order in the splat sum."""
+    return _render_bdpt_sharded_jit(scene, cfg, mesh)
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -113,19 +155,20 @@ def _fit_step_jit(scene, params, target, cfg, mesh):
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         loss = jax.lax.psum(loss, axes)
-        # NO explicit grad psum: params are replicated (unvarying) inside
-        # shard_map, so their use against per-shard rays is an implicit
-        # pbroadcast whose TRANSPOSE is the psum — jax inserts the
-        # all-reduce over all mesh axes itself (verified: adding one here
-        # double-counts by the mesh size).  This is exactly the "grad
-        # all-reduce over ICI overlapped with backward" of SURVEY.md §2,
-        # placed by XLA per-parameter inside the backward sweep.
+        # explicit grad all-reduce (SURVEY.md §2 "Gradient reduction"):
+        # with check_vma=True shard_map would insert this psum itself as
+        # the transpose of the implicit param pbroadcast, but check_vma
+        # is off (pallas_call outputs carry no vma metadata), so the
+        # unchecked mode returns per-shard partials and the reduction is
+        # ours to place.  XLA still overlaps it with the backward sweep.
+        grads = jax.lax.psum(grads, axes)
         return loss, grads
 
     uids = jnp.arange(n_total, dtype=jnp.uint32)
     f = shard_map(
         shard_loss,
         mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
         in_specs=(_replicated(scene), _replicated(params), P(axes), P(axes)),
         out_specs=(P(), _replicated(params)),
     )

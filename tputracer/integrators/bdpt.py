@@ -379,6 +379,32 @@ def trace_bdpt(scene, uid, cfg):
     return L_own, splat
 
 
+def trace_bdpt_rows(scene, uids, cfg, rows_budget=None):
+    """Trace a contiguous uid range in row-aligned chunks.
+
+    Returns (L_own (n,3) in uid order, splat (H*W,3) film scatter).
+    Chunking is on whole image rows: padding is not an option here
+    (padded paths would still SPLAT onto real pixels), so the chunk is
+    the largest row count that divides the range and fits the budget.
+    Shared by the single-device and shard_map renderers.
+    """
+    n = uids.shape[0]
+    per_row = cfg.width * cfg.spp
+    n_rows = n // per_row
+    assert n_rows * per_row == n, (n, per_row)
+    rows = max(1, min((rows_budget or cfg.chunk_size) // per_row, n_rows))
+    while n_rows % rows:
+        rows -= 1
+    chunk = rows * per_row
+    L_parts, splat_sum = [], jnp.zeros(
+        (cfg.width * cfg.height, 3), jnp.float32)
+    for i in range(n // chunk):
+        L, sp = trace_bdpt(scene, uids[i * chunk:(i + 1) * chunk], cfg)
+        L_parts.append(L)
+        splat_sum = splat_sum + sp
+    return jnp.concatenate(L_parts, axis=0), splat_sum
+
+
 def render_bdpt(scene, cfg):
     """Full-frame BDPT render -> (image (H,W,3), stats); row 0 = top.
 
@@ -386,22 +412,8 @@ def render_bdpt(scene, cfg):
          + (1 / total paths) * scatter of t=1 splats  (SURVEY.md §3.3).
     """
     n_total = cfg.width * cfg.height * cfg.spp
-    # chunk on whole image rows: padding is not an option here (padded
-    # paths would still SPLAT onto real pixels), so pick the largest row
-    # count that divides the image height and fits the chunk budget
-    per_row = cfg.width * cfg.spp
-    rows = max(1, min(cfg.chunk_size // per_row, cfg.height))
-    while cfg.height % rows:
-        rows -= 1
-    chunk = rows * per_row
-    n_chunks = n_total // chunk
-    L_parts, splat_sum = [], 0.0
-    for i in range(n_chunks):
-        uids = jnp.arange(i * chunk, (i + 1) * chunk, dtype=jnp.uint32)
-        L, sp = trace_bdpt(scene, uids, cfg)
-        L_parts.append(L)
-        splat_sum = splat_sum + sp
-    L_own = jnp.concatenate(L_parts, axis=0)
+    uids = jnp.arange(n_total, dtype=jnp.uint32)
+    L_own, splat_sum = trace_bdpt_rows(scene, uids, cfg)
     img = film_from_radiance(L_own, cfg)
     splat_img = (splat_sum / jnp.float32(n_total)).reshape(
         cfg.height, cfg.width, 3)[::-1]

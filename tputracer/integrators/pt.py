@@ -62,10 +62,35 @@ def camera_rays(scene, uid, cfg):
     return o, d
 
 
+def _coherence_key(scene, o, d, alive):
+    """Wavefront sort key (SURVEY.md §7 M5): dead lanes last; live lanes
+    grouped by origin cell (4^3 grid over the scene bounds) then
+    direction octant, so traversal tiles visit fewer clusters."""
+    lo = jnp.min(scene.clus_min, axis=0)
+    hi = jnp.max(scene.clus_max, axis=0)
+    cell = jnp.clip(((o - lo) / (hi - lo + 1e-9) * 4.0).astype(jnp.int32),
+                    0, 3)
+    octant = ((d[:, 0] >= 0).astype(jnp.int32)
+              + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+              + 4 * (d[:, 2] >= 0).astype(jnp.int32))
+    key = (cell[:, 0] * 16 + cell[:, 1] * 4 + cell[:, 2]) * 8 + octant
+    return jnp.where(alive, key, 1 << 14)
+
+
 def trace_radiance(scene, uid, cfg):
-    """Radiance for a chunk of paths. uid: (n,) uint32 -> (L (n,3), stats)."""
+    """Radiance for a chunk of paths. uid: (n,) uint32 -> (L (n,3), stats).
+
+    With cfg.sort_rays (clustered scenes only), the wavefront is
+    re-permuted each bounce by _coherence_key.  The counter-based RNG is
+    keyed on uid, so streams are permutation-invariant and the result is
+    identical to the unsorted path; L is restored to uid order at the
+    end.  This trades ~n log n sort + full-state gathers per bounce for
+    fewer cluster visits per traversal tile — measure before enabling
+    (SURVEY.md §7 M5: compaction/sorting only pays off for deep,
+    incoherent workloads)."""
     n = uid.shape[0]
     o, d = camera_rays(scene, uid, cfg)
+    do_sort = cfg.sort_rays and scene.n_clusters > 0
     zeros1 = jnp.zeros((n,), jnp.float32)
 
     L = jnp.zeros((n, 3), jnp.float32)
@@ -151,6 +176,14 @@ def trace_radiance(scene, uid, cfg):
         prev_pdf = pdf_b
         alive = active & (jnp.max(thr, axis=-1) > 0.0)
 
+        if do_sort and b < cfg.max_bounces - 1:
+            perm = jnp.argsort(_coherence_key(scene, o, d, alive))
+            uid, prev_pdf = uid[perm], prev_pdf[perm]
+            alive, prev_delta = alive[perm], prev_delta[perm]
+            o, d, thr, L = o[perm], d[perm], thr[perm], L[perm]
+
+    if do_sort:
+        L = L[jnp.argsort(uid)]  # restore uid order for the film reshape
     stats = {"alive": jnp.stack(alive_counts)}
     return L, stats
 
