@@ -174,18 +174,32 @@ def main(argv=None):
     args = ap.parse_args(argv)
     names = args.only.split(",") if args.only else list(BENCHES)
 
+    if len(names) > 1:
+        # one subprocess per bench: the axon backend reliably errors
+        # (INVALID_ARGUMENT) on the second large program compiled in one
+        # process, so isolate each config
+        import subprocess
+        import sys
+
+        for name in names:
+            cmd = [sys.executable, "-m", "benchmarks.run", "--only", name]
+            if args.quick:
+                cmd.append("--quick")
+            subprocess.run(cmd, check=False)
+        return
+
     import jax
 
+    name = names[0]
     out_path = os.path.join(os.path.dirname(__file__), "results.jsonl")
+    rec = {"bench": name, "quick": args.quick,
+           "backend": jax.default_backend(),
+           "device": str(jax.devices()[0])}
+    rec.update(BENCHES[name](args.quick))
+    line = json.dumps(rec)
+    print(line, flush=True)
     with open(out_path, "a") as fh:
-        for name in names:
-            rec = {"bench": name, "quick": args.quick,
-                   "backend": jax.default_backend(),
-                   "device": str(jax.devices()[0])}
-            rec.update(BENCHES[name](args.quick))
-            line = json.dumps(rec)
-            print(line, flush=True)
-            fh.write(line + "\n")
+        fh.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ accel/traverse_tpu.py (Pallas) for the traversal halves.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -46,6 +48,16 @@ def build_clusters(tv, leaf_size=64, eps=1e-5, pad_clusters_to=8):
     slab matrix in the traversal kernels tiles cleanly without blowing
     up small scenes.
     """
+    # native binned-SAH builder when available (accel/native.py): better
+    # split planes -> fewer cluster visits per ray tile at trace time
+    if not os.environ.get("TPUTRACER_NO_NATIVE"):
+        from tputracer.accel.native import build_clusters_native
+
+        out = build_clusters_native(tv, leaf_size=leaf_size, eps=eps,
+                                    pad_clusters_to=pad_clusters_to)
+        if out is not None:
+            return out
+
     tv = np.asarray(tv, np.float32)
     T = tv.shape[0]
     cent = tv.mean(axis=1)                      # (T,3) centroids

@@ -45,12 +45,16 @@ from tputracer.accel.bruteforce import finalize_hit
 from tputracer.accel.clustered import _detach, _sphere_best
 
 _BIG = jnp.float32(3.0e38)
-TILE = 256
+TILE = 64   # rays per grid step.  Measured on the 82k-tri mesh config
+            # (256^2x4spp, 8 bounces): 64 -> 4.67M rays/s vs 128 -> 4.03M,
+            # 256 -> 2.76M, 32 -> 4.49M.  Small tiles shrink the UNION of
+            # clusters the tile must visit (incoherent bounce rays), which
+            # outweighs the extra scalar-loop iterations per ray.
 
 
 def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
                      cmin_ref, cmax_ref, v0_ref, e1_ref, e2_ref, mask_ref,
-                     bt_out, bp_out, te_scr, vis_scr, *, leaf):
+                     bt_out, bp_out, te_scr, vis_scr, *, leaf, any_hit):
     BIG = 3.0e38          # python literal: captured jnp constants are
     C = cmin_ref.shape[1]  # not allowed in pallas kernels
     tmin = tmin_ref[:]                                   # (TILE,1)
@@ -128,7 +132,12 @@ def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
         th = jnp.min(tblk, axis=1, keepdims=True)                # (TILE,1)
         j = jnp.argmin(tblk, axis=1).astype(jnp.int32)[:, None]
         imp = th < bt
-        bt_out[:] = jnp.where(imp, th, bt)
+        if any_hit:
+            # shadow rays: ANY hit occludes — drop the lane's horizon to
+            # -BIG so it stops pulling clusters in (te < bt never holds)
+            bt_out[:] = jnp.where(imp, -BIG, bt)
+        else:
+            bt_out[:] = jnp.where(imp, th, bt)
         bp_out[:] = jnp.where(imp, c * leaf + j, bp)
         return pick()
 
@@ -136,9 +145,11 @@ def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
     lax.while_loop(lambda s: s[1] < BIG, body, (c0, val0))
 
 
-@functools.partial(jax.jit, static_argnames=("leaf", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("leaf", "interpret", "any_hit"))
 def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
-                     v0, e1, e2, mask, *, leaf, interpret=False):
+                     v0, e1, e2, mask, *, leaf, interpret=False,
+                     any_hit=False):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -160,7 +171,7 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
                                   memory_space=pltpu.VMEM)
     C = cmin.shape[1]
     bt, bp = pl.pallas_call(
-        functools.partial(_traverse_kernel, leaf=leaf),
+        functools.partial(_traverse_kernel, leaf=leaf, any_hit=any_hit),
         grid=grid,
         in_specs=[ray2(3), ray2(3), ray2(1), ray2(1), ray2(1), ray2(1),
                   full(cmin), full(cmax), full(v0), full(e1), full(e2),
@@ -200,5 +211,5 @@ def occluded_pallas(scene, o, d, tmax, interpret=False):
         jnp.full(o.shape[:1], -1, jnp.int32),
         sc.clus_min.T, sc.clus_max.T,
         sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
-        leaf=scene.leaf_size, interpret=interpret)
+        leaf=scene.leaf_size, interpret=interpret, any_hit=True)
     return t < tmax

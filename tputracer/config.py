@@ -25,9 +25,12 @@ class RenderConfig:
     transport_radiance: bool = True
     sort_rays: bool = False       # M5: re-sort the wavefront by (alive,
                                   # direction octant, origin cell) each
-                                  # bounce — traversal-coherence knob for
-                                  # clustered scenes; costs a full-state
-                                  # permutation per bounce (see pt.py)
+                                  # bounce. Measured on the mesh config:
+                                  # a wash (-5%%) once the traversal
+                                  # kernel got any-hit exit + TILE=64 —
+                                  # the sort/gather cost eats its
+                                  # coherence gain. Kept as an opt-in
+                                  # knob for deeper path depths.
 
     def with_(self, **kw):
         return replace(self, **kw)
