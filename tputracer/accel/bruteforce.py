@@ -26,7 +26,10 @@ from jax import lax
 from tputracer import geometry as g
 from tputracer.lookup import fetch, fetch_int
 
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # python float, NOT jnp.float32: module-level jnp
+               # constants get hoisted as phantom executable inputs
+               # when traced after another jit has run (jax 0.9 bug:
+               # 'supplied N buffers but expected N+3')
 
 
 class Hit(NamedTuple):

@@ -34,7 +34,7 @@ from tputracer.accel.bruteforce import (
     finalize_hit,
 )
 
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # python float — see accel/bruteforce.py note
 
 
 def _safe_inv(d):

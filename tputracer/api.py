@@ -40,6 +40,57 @@ def render_bdpt(scene, cfg: BdptConfig | None = None, **kw):
     return _render_bdpt_jit(scene, cfg)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _progressive_pass_jit(scene, offset, step, cfg):
+    from tputracer.integrators.pt import trace_chunked
+
+    n_pix = cfg.width * cfg.height
+    pix = jnp.arange(n_pix, dtype=jnp.uint32)[:, None]
+    # offset is (1,)-shaped, NOT a 0-d scalar: jax 0.9's C++ fast path
+    # mis-prunes executable buffers on repeat calls with scalar args once
+    # another jitted program has run ("supplied 20 buffers but expected
+    # 23"); a rank-1 arg sidesteps the bug
+    uid = (pix * cfg.spp + offset[0]
+           + jnp.arange(step, dtype=jnp.uint32)[None, :]).ravel()
+    L, _ = trace_chunked(scene, uid, cfg)
+    return L.reshape(cfg.height, cfg.width, step, 3).sum(axis=2)
+
+
+def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
+                       checkpoint_path=None, resume=True, callback=None):
+    """Accumulate cfg.spp in passes with film checkpointing (SURVEY.md §5
+    "checkpoint/resume": film + sample count persist; resume adds the
+    REMAINING spp and reproduces the single-shot render exactly).
+
+    Per-pass path uids are the same global ids the single-shot render
+    would use (uid = pixel * cfg.spp + sample), so the counter-based RNG
+    makes pass-splitting invisible: the accumulated film is bitwise the
+    mean of the same per-path radiances, whatever spp_per_pass or how
+    often the job died.  Returns (image (H,W,3) row-0-top, spp_done).
+    """
+    import os
+
+    import numpy as np
+
+    film = np.zeros((cfg.height, cfg.width, 3), np.float32)  # uid-row order
+    done = 0
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        z = np.load(checkpoint_path)
+        film, done = z["film"], int(z["spp_done"])
+
+    while done < cfg.spp:
+        step = min(spp_per_pass, cfg.spp - done)
+        part = _progressive_pass_jit(
+            scene, jnp.full((1,), done, jnp.uint32), step, cfg)
+        film = film + np.asarray(part)
+        done += step
+        if checkpoint_path:
+            np.savez(checkpoint_path, film=film, spp_done=done)
+        if callback:
+            callback(done, film[::-1] / max(done, 1))
+    return film[::-1] / max(done, 1), done
+
+
 def _loss_l2(img, target):
     return jnp.mean((img - target) ** 2)
 

@@ -29,7 +29,7 @@ from tputracer import geometry as g
 from tputracer.lookup import fetch, fetch_int
 from tputracer.scene.types import DIFFUSE, GLASS, MIRROR
 
-INV_PI = jnp.float32(1.0 / jnp.pi)
+INV_PI = float(1.0 / __import__('math').pi)  # python float — see accel/bruteforce.py note
 
 
 def emitted(scene, mat, n, d_in):

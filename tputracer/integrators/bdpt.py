@@ -54,8 +54,8 @@ from tputracer.lights import pdf_light_area, sample_light
 from tputracer.lookup import fetch_int
 from tputracer.scene.types import DIFFUSE
 
-_BIG = jnp.float32(3.0e38)
-_PI = jnp.float32(jnp.pi)
+_BIG = 3.0e38                       # python floats — see accel/bruteforce.py
+_PI = float(__import__('math').pi)
 
 
 def _remap0(x):

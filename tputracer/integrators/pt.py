@@ -34,7 +34,7 @@ from tputracer.accel import intersect, occluded
 from tputracer.bsdf import emitted, eval_bsdf, pdf_bsdf, sample_bsdf
 from tputracer.lights import pdf_light_area, sample_light
 
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # python float — see accel/bruteforce.py note
 
 
 def _power2(a, b):
