@@ -35,15 +35,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tputracer.accel.bruteforce import finalize_hit
-from tputracer.accel.clustered import _detach, _sphere_best
+from tputracer.accel.clustered import _detach
 
 FTILE = 1024   # rays per grid step (lanes)
 _BLK = 128     # triangles per MXU block (sublanes)
 
 
 def _fused_kernel(feat_ref, o_ref, d_ref, tmin_ref, tmax_ref,
-                  bt0_ref, bp0_ref, plu_ref, trin_ref, v0n_ref, mask_ref,
-                  bt_out, bp_out):
+                  sph_ref, plu_ref, trin_ref, v0n_ref, mask_ref,
+                  bt_out, bp_out, *, n_sph):
     BIG = 3.0e38
     T = plu_ref.shape[1]
     tmin = tmin_ref[:]                                   # (1,TILE)
@@ -51,8 +51,25 @@ def _fused_kernel(feat_ref, o_ref, d_ref, tmin_ref, tmax_ref,
     dx, dy, dz = (d_ref[a:a + 1, :] for a in range(3))   # (1,TILE)
     ox, oy, oz = (o_ref[a:a + 1, :] for a in range(3))
 
-    bt = bt0_ref[:]                                      # (1,TILE)
-    bp = bp0_ref[:]
+    bt = tmax                                            # (1,TILE)
+    bp = jnp.full(tmax.shape, -1, jnp.int32)
+    # spheres first (analytic primitives, BASELINE row 4): statically
+    # unrolled, (1,1)-sliced constants broadcast against ray rows — no
+    # scalar extraction, no XLA pre-pass
+    for sidx in range(n_sph):
+        cx, cy, cz, r = (sph_ref[a:a + 1, sidx:sidx + 1] for a in range(4))
+        bx, by, bz = ox - cx, oy - cy, oz - cz
+        bq = bx * dx + by * dy + bz * dz
+        cq = bx * bx + by * by + bz * bz - r * r
+        disc = bq * bq - cq
+        okq = disc > 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        ts = jnp.where(t0 > tmin, t0, t1)
+        okq = okq & (ts > tmin) & (ts < bt)
+        bt = jnp.where(okq, ts, bt)
+        bp = jnp.where(okq, T + sidx, bp)
     for blk in range(T // _BLK):
         sl = slice(blk * _BLK, (blk + 1) * _BLK)         # static
         w0, w1, w2 = (
@@ -85,9 +102,9 @@ def _fused_kernel(feat_ref, o_ref, d_ref, tmin_ref, tmax_ref,
     bp_out[:] = bp
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_pallas(o, d, tmin, tmax, bt0, bp0, plu, trin, v0n, mask,
-                  interpret=False):
+@functools.partial(jax.jit, static_argnames=("n_sph", "interpret"))
+def _fused_pallas(o, d, tmin, tmax, sph, plu, trin, v0n, mask,
+                  n_sph, interpret=False):
     n = o.shape[0]
     n_pad = -(-n // FTILE) * FTILE
     pad = n_pad - n
@@ -101,17 +118,17 @@ def _fused_pallas(o, d, tmin, tmax, bt0, bp0, plu, trin, v0n, mask,
     feat = jnp.pad(jnp.concatenate([d, m], axis=1),
                    [(0, pad), (0, 0)], constant_values=1.0).T  # (6,N)
     args = (feat, o_t, d_t, row(tmin), row(tmax),
-            row(bt0), row(bp0, -1), plu, trin, v0n, mask)
+            sph, plu, trin, v0n, mask)
 
     lane = lambda h: pl.BlockSpec((h, FTILE), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     bt, bp = pl.pallas_call(
-        _fused_kernel,
+        functools.partial(_fused_kernel, n_sph=n_sph),
         grid=(n_pad // FTILE,),
-        in_specs=[lane(6), lane(3), lane(3), lane(1), lane(1), lane(1),
-                  lane(1), full(plu), full(trin), full(v0n), full(mask)],
+        in_specs=[lane(6), lane(3), lane(3), lane(1), lane(1),
+                  full(sph), full(plu), full(trin), full(v0n), full(mask)],
         out_specs=[lane(1), lane(1)],
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_pad), jnp.int32)],
@@ -121,21 +138,26 @@ def _fused_pallas(o, d, tmin, tmax, bt0, bp0, plu, trin, v0n, mask,
 
 
 def _scene_args(sc):
-    """Triangle tables in the kernel's tri-on-sublanes layout."""
-    return (jnp.transpose(sc.plu, (0, 2, 1)),            # (3,T,6)
+    """Scene tables in kernel layout: spheres packed (4, S) rows
+    [cx, cy, cz, r]; triangle tables tri-on-sublanes."""
+    if sc.n_spheres:
+        sph = jnp.concatenate([sc.sph_c.T, sc.sph_r[None, :]], axis=0)
+    else:
+        sph = jnp.zeros((4, 1), jnp.float32)   # unused (n_sph=0)
+    return (sph,
+            jnp.transpose(sc.plu, (0, 2, 1)),            # (3,T,6)
             sc.tri_n,                                    # (T,3)
             jnp.sum(sc.tri_v0 * sc.tri_n, axis=-1)[:, None],   # (T,1)
             sc.tri_mask[:, None])                        # (T,1)
 
 
 def intersect_fused(scene, o, d, tmin, tmax, interpret=False):
-    """Closest hit over all primitives, fused in VMEM (Hit SoA)."""
+    """Closest hit over ALL primitives (tris + analytic spheres), fully
+    fused in VMEM (Hit SoA) — no XLA pre-pass."""
     od, dd, tn, tx = _detach(o, d, tmin, tmax)
     sc = jax.lax.stop_gradient(scene)
-    bt0, bp0 = _sphere_best(sc, od, dd, tn, tx)
-    bt0 = jnp.minimum(bt0, tx)
-    t, prim = _fused_pallas(od, dd, tn, tx, bt0, bp0, *_scene_args(sc),
-                            interpret=interpret)
+    t, prim = _fused_pallas(od, dd, tn, tx, *_scene_args(sc),
+                            n_sph=scene.n_spheres, interpret=interpret)
     return finalize_hit(scene, o, d, t, prim, t < tmax)
 
 
@@ -144,8 +166,6 @@ def occluded_fused(scene, o, d, tmax, interpret=False):
     o, d, tmax = _detach(o, d, tmax)
     sc = jax.lax.stop_gradient(scene)
     tmin = jnp.zeros(o.shape[:1], jnp.float32)
-    bt0, _ = _sphere_best(sc, o, d, tmin, tmax)
-    t, _ = _fused_pallas(o, d, tmin, tmax, jnp.minimum(bt0, tmax),
-                         jnp.full(o.shape[:1], -1, jnp.int32),
-                         *_scene_args(sc), interpret=interpret)
+    t, _ = _fused_pallas(o, d, tmin, tmax, *_scene_args(sc),
+                         n_sph=scene.n_spheres, interpret=interpret)
     return t < tmax
