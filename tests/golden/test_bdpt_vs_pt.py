@@ -35,7 +35,7 @@ def test_bdpt_matches_pt_diffuse():
     scene, ref = _pt_reference("boxes", bounces=3)
     lo = _rel(_bdpt(scene, 3, spp=64), ref).mean()
     hi = _rel(_bdpt(scene, 3, spp=256), ref).mean()
-    assert hi < 0.03, f"bdpt vs pt mean rel err {hi:.4f}"
+    assert hi < 0.022, f"bdpt vs pt mean rel err {hi:.4f}"
     # error is variance, not bias: quadrupling spp must shrink it
     assert hi < lo * 0.85, f"no MC convergence: {lo:.4f} -> {hi:.4f}"
 
@@ -45,7 +45,7 @@ def test_bdpt_matches_pt_caustic():
     splats (t=1) carry the caustic; MIS must not double-count them."""
     scene, ref = _pt_reference("caustic", bounces=5)
     err = _rel(_bdpt(scene, 5, spp=256), ref)
-    assert err.mean() < 0.03, f"bdpt vs pt mean rel err {err.mean():.4f}"
+    assert err.mean() < 0.018, f"bdpt vs pt mean rel err {err.mean():.4f}"
 
 
 def test_bdpt_matches_pt_specular():
@@ -53,7 +53,7 @@ def test_bdpt_matches_pt_specular():
     chains and connections around them."""
     scene, ref = _pt_reference("spheres", bounces=5)
     err = _rel(_bdpt(scene, 5, spp=256), ref)
-    assert err.mean() < 0.05, f"bdpt vs pt mean rel err {err.mean():.4f}"
+    assert err.mean() < 0.04, f"bdpt vs pt mean rel err {err.mean():.4f}"
 
 
 def test_bdpt_deterministic_and_chunk_invariant():

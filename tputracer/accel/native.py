@@ -11,6 +11,7 @@ the native path is an accelerator, never a dependency.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -19,26 +20,37 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "bvh_builder.cpp")
-_SO = os.path.join(_REPO, "native", "build", "libtptbvh.so")
+_BUILD = os.path.join(_REPO, "native", "build")
 
 _lib = None
 _tried = False
 
 
 def _load():
+    """Compile (if needed) and load the builder library.
+
+    The cache is keyed on a hash of the source, so a stale or
+    foreign-host binary (e.g. one committed by accident, compiled with
+    -march=native elsewhere — it would SIGILL uncatchably) is never
+    trusted: a hash mismatch always triggers a local rebuild.  Flags are
+    portable -O3, no -march=native.
+    """
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            os.makedirs(os.path.dirname(_SO), exist_ok=True)
+        with open(_SRC, "rb") as f:
+            h = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(_BUILD, f"libtptbvh-{h}.so")
+        if not os.path.exists(so):
+            os.makedirs(_BUILD, exist_ok=True)
+            tmp = so + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SO, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True, capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_SO)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
         fn = lib.tpt_build_clusters
         fn.restype = ctypes.c_int
         fn.argtypes = [

@@ -72,10 +72,29 @@ def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
 
     import numpy as np
 
+    # checkpoint identity: a stale film from a different render must never
+    # silently blend in — resume only on a full scene/config/seed match.
+    # (hashlib, not hash(): bytes hashing is PYTHONHASHSEED-salted and
+    # would differ across processes, breaking every resume.)
+    import hashlib
+
+    dig = hashlib.sha256()
+    for leaf in jax.tree.leaves(scene):
+        dig.update(np.asarray(leaf).tobytes())
+    scene_hash = int.from_bytes(dig.digest()[:6], "little")
+    ident = np.array(
+        [cfg.width, cfg.height, cfg.spp, cfg.seed, cfg.max_bounces,
+         scene_hash], np.int64)
+
     film = np.zeros((cfg.height, cfg.width, 3), np.float32)  # uid-row order
     done = 0
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         z = np.load(checkpoint_path)
+        if "ident" not in z or not np.array_equal(z["ident"], ident):
+            raise ValueError(
+                f"checkpoint {checkpoint_path} belongs to a different "
+                "render (scene/config/seed mismatch); delete it or pass "
+                "resume=False")
         film, done = z["film"], int(z["spp_done"])
 
     while done < cfg.spp:
@@ -85,7 +104,7 @@ def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
         film = film + np.asarray(part)
         done += step
         if checkpoint_path:
-            np.savez(checkpoint_path, film=film, spp_done=done)
+            np.savez(checkpoint_path, film=film, spp_done=done, ident=ident)
         if callback:
             callback(done, film[::-1] / max(done, 1))
     return film[::-1] / max(done, 1), done

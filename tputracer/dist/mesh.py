@@ -74,6 +74,9 @@ def _render_sharded_jit(scene, cfg, mesh):
     def shard_body(scene, uids):
         L, stats = trace_chunked(scene, uids, cfg)
         img = film_from_radiance(L, cfg, rows=rows_per, flip=False)
+        # stats match api.render's single-device contract: per-bounce
+        # counts are global sums, not per-shard concatenations
+        stats = jax.tree.map(lambda x: jax.lax.psum(x, axes), stats)
         return img, stats
 
     uids = jnp.arange(n_total, dtype=jnp.uint32)
@@ -82,7 +85,7 @@ def _render_sharded_jit(scene, cfg, mesh):
         mesh=mesh,
         check_vma=False,  # pallas_call outputs carry no vma metadata
         in_specs=(_replicated(scene), P(axes)),
-        out_specs=(P(axes), P(axes)),
+        out_specs=(P(axes), P()),
     )
     img, stats = f(scene, uids)
     return img[::-1], stats  # global flip: row 0 = top

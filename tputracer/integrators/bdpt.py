@@ -224,7 +224,10 @@ def _mis_weight(scene, cam, ys, zs, s, t):
         ri = ri * _remap0(rev_z[i]) / _remap0(fwd_z[i])
         ok = jnp.logical_not(del_z[i]) & jnp.logical_not(del_z[i - 1])
         sum_ri = sum_ri + jnp.where(ok, ri, 0.0)
-    # ... and toward the light (area lights are never delta)
+    # ... and toward the light (area lights are never delta).  The two
+    # chains are INDEPENDENT products (Veach '97 eq. 10.9 / PBRT v3
+    # MISWeight): each starts from ratio 1 at the connection edge.
+    ri = jnp.ones((n,), jnp.float32)
     for i in range(s - 1, -1, -1):
         ri = ri * _remap0(rev_y[i]) / _remap0(fwd_y[i])
         ok = jnp.logical_not(del_y[i])

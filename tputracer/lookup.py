@@ -26,9 +26,10 @@ def fetch(table, idx, threshold=_THRESHOLD):
     if m > threshold or table.ndim > 2:
         return table[idx]
     oh = jax.nn.one_hot(idx, m, dtype=jnp.float32)        # (N,M)
-    if table.ndim == 1:
-        return oh @ table
-    return oh @ table
+    # HIGHEST precision: the TPU MXU defaults to bf16 passes, which would
+    # round emitter positions / material params / int ids on TPU while CPU
+    # tests see full f32 (and break fetch_int's 2^24-exactness contract).
+    return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
 
 
 def fetch_int(table, idx, threshold=_THRESHOLD):
