@@ -45,59 +45,122 @@ from tputracer.accel.bruteforce import finalize_hit
 from tputracer.accel.clustered import _detach, _sphere_best
 
 _BIG = jnp.float32(3.0e38)
-TILE = 64   # rays per grid step.  Measured on the 82k-tri mesh config
-            # (256^2x4spp, 8 bounces): 64 -> 4.67M rays/s vs 128 -> 4.03M,
-            # 256 -> 2.76M, 32 -> 4.49M.  Small tiles shrink the UNION of
-            # clusters the tile must visit (incoherent bounce rays), which
-            # outweighs the extra scalar-loop iterations per ray.
+TILE = 64   # rays per traversal subtile.  Measured on the 82k-tri mesh
+            # config (256^2x4spp, 8 bounces): 64 -> 4.67M rays/s vs
+            # 128 -> 4.03M, 256 -> 2.76M, 32 -> 4.49M.  Small tiles
+            # shrink the UNION of clusters the tile must visit
+            # (incoherent bounce rays), which outweighs the extra
+            # scalar-loop iterations per ray.
+SUB = 16    # subtiles per grid step.  The axon backend charges ~1.3 us
+            # of step machinery per grid step (measured: an all-dead
+            # 65536-ray call costs 1.38 ms at one 64-ray tile per step —
+            # pure overhead); batching 16 subtiles per step amortizes it
+            # 16x while keeping the 64-ray union granularity.
 
 
 def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
+                     cmin_hbm, cmax_hbm, v0_hbm, e1_hbm, e2_hbm, mask_hbm,
+                     bt_out, bp_out, te_scr, score_scr,
                      cmin_ref, cmax_ref, v0_ref, e1_ref, e2_ref, mask_ref,
-                     bt_out, bp_out, te_scr, vis_scr, *, leaf, any_hit):
+                     sem, *, leaf, any_hit, refresh):
     BIG = 3.0e38          # python literal: captured jnp constants are
     C = cmin_ref.shape[1]  # not allowed in pallas kernels
-    tmin = tmin_ref[:]                                   # (TILE,1)
-    tmax = tmax_ref[:]
+
+    # Scene residency: the scene tables (~5 MB at 100k tris) arrive with
+    # memory_space=ANY and are DMA-ed into persistent VMEM scratch ONCE,
+    # on the first grid step.  Passing them as constant-index VMEM blocks
+    # instead re-DMAs all ~5 MB on EVERY 64-ray grid step (~6 us/tile at
+    # HBM bandwidth) — measured as the kernel's single dominant cost,
+    # 4x the actual traversal compute.
+    @pl.when(pl.program_id(0) == 0)
+    def _load_scene():
+        for src, dst in ((cmin_hbm, cmin_ref), (cmax_hbm, cmax_ref),
+                         (v0_hbm, v0_ref), (e1_hbm, e1_ref),
+                         (e2_hbm, e2_ref), (mask_hbm, mask_ref)):
+            cp = pltpu.make_async_copy(src, dst, sem)
+            cp.start()
+            cp.wait()
+
+    bt_out[:] = bt0_ref[:]
+    bp_out[:] = bp0_ref[:]
+
+    for s in range(SUB):
+        rs = slice(s * TILE, (s + 1) * TILE)
+        tmin = tmin_ref[rs]                              # (TILE,1)
+        tmax = tmax_ref[rs]
+
+        # Subtile-level early exit: the wavefront passes tmax=0 for dead
+        # lanes (integrators/pt.py) and sorts dead lanes last, so whole
+        # subtiles go dead after Russian roulette — a dead subtile costs
+        # ~nothing here, which is what turns the alive-first sort into
+        # real wavefront compaction (SURVEY.md §7 M5).
+        any_live = jnp.max(jnp.where(tmax > tmin, 1.0, 0.0)) > 0.0
+
+        @pl.when(any_live)
+        def _tile_body(rs=rs, tmin=tmin, tmax=tmax):
+            _traverse_tile(o_ref, d_ref, rs, tmin, tmax,
+                           cmin_ref, cmax_ref, v0_ref, e1_ref, e2_ref,
+                           mask_ref, bt_out, bp_out,
+                           te_scr, score_scr, leaf=leaf, any_hit=any_hit,
+                           refresh=refresh)
+
+
+def _traverse_tile(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref,
+                   v0_ref, e1_ref, e2_ref, mask_ref, bt_out, bp_out,
+                   te_scr, score_scr, *, leaf, any_hit, refresh):
+    BIG = 3.0e38
+    C = cmin_ref.shape[1]
 
     # ---- dense ray-vs-all-AABB slab pass -> entry-distance scratch ----
     tn = jnp.full((TILE, C), -BIG)
     tf = jnp.full((TILE, C), BIG)
     for a in range(3):
-        da = d_ref[:, a:a + 1]                           # (TILE,1)
+        da = d_ref[rs, a:a + 1]                          # (TILE,1)
         tiny = jnp.float32(1e-12)
         inv = 1.0 / jnp.where(jnp.abs(da) < tiny,
                               jnp.where(da >= 0.0, tiny, -tiny), da)
-        t0 = (cmin_ref[a:a + 1, :] - o_ref[:, a:a + 1]) * inv
-        t1 = (cmax_ref[a:a + 1, :] - o_ref[:, a:a + 1]) * inv
+        t0 = (cmin_ref[a:a + 1, :] - o_ref[rs, a:a + 1]) * inv
+        t1 = (cmax_ref[a:a + 1, :] - o_ref[rs, a:a + 1]) * inv
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     hit = (tn <= tf) & (tf > tmin) & (tn < tmax)
     te_scr[:] = jnp.where(hit, jnp.maximum(tn, tmin), BIG)
     # all vector state lives in VMEM scratch; the while-loop carries only
     # scalars (Mosaic cannot yield vectors through scf.while)
-    vis_scr[:] = jnp.zeros((1, C), jnp.float32)
-    bt_out[:] = bt0_ref[:]
-    bp_out[:] = bp0_ref[:]
     iota_c = lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
-    def pick():
-        """Nearest unvisited cluster any lane still wants (front-to-back).
+    # ---- cached pick row ----------------------------------------------
+    # Per-trip cost is what decides this kernel's throughput: the round-1
+    # version recomputed an exact (TILE, C) admission matrix + column-min
+    # + argmin every trip, and that reduce-to-scalar chain (~0.5 us per
+    # round trip) dominated the whole traversal.  Instead keep a (1, C)
+    # SCORE row: score[c] = min over lanes of te[:, c] where the cluster
+    # is still admissible, BIG otherwise.  Each trip only argmins the row
+    # and marks the visited column BIG; the expensive bt-pruned recompute
+    # runs every `refresh` trips.  A stale row can only ADMIT clusters a
+    # fresh one would have pruned (bt shrinks monotonically), never skip
+    # one — so the walk stays exact, just up to refresh-1 wasted visits
+    # near the tail.
+    def fresh_score():
+        adm = jnp.where((te_scr[:] < bt_out[rs]) & (score_scr[:] < BIG),
+                        te_scr[:], BIG)                      # (TILE,C)
+        score_scr[:] = jnp.min(adm, axis=0, keepdims=True)   # (1,C)
 
-        vis_scr is a (1, C) visited mask: Mosaic cannot scatter a single
-        lane column (dynamic lane indices must be 128-aligned), so
-        visiting is an iota-compare OR over the whole row, not a store.
-        """
-        score = jnp.where((te_scr[:] < bt_out[:]) & (vis_scr[:] == 0.0),
-                          te_scr[:], BIG)                    # (TILE,C)
-        colmin = jnp.min(score, axis=0)                      # (C,)
-        return jnp.argmin(colmin).astype(jnp.int32), jnp.min(colmin)
+    score_scr[:] = jnp.full((1, C), 0.0)   # "< BIG" = unvisited marker
+    fresh_score()
+
+    def pick():
+        row = score_scr[:]
+        return (jnp.argmin(row[0]).astype(jnp.int32), jnp.min(row))
 
     def body(state):
-        c, _ = state
-        vis_scr[:] = jnp.where(iota_c == c, 1.0, vis_scr[:])
-        bt = bt_out[:]
-        bp = bp_out[:]
+        k, c, _ = state
+        # mark visited: BIG in the score row (Mosaic cannot scatter a
+        # single lane column — dynamic lane indices must be 128-aligned —
+        # so visiting is an iota-compare select over the whole row)
+        score_scr[:] = jnp.where(iota_c == c, BIG, score_scr[:])
+        bt = bt_out[rs]
+        bp = bp_out[rs]
 
         # dense Moeller-Trumbore of the whole tile vs the cluster's block.
         # multiple_of: Mosaic must statically prove lane-dim slice offsets
@@ -109,8 +172,8 @@ def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
         e1x, e1y, e1z = (e1_ref[a:a + 1, sl] for a in range(3))
         e2x, e2y, e2z = (e2_ref[a:a + 1, sl] for a in range(3))
         msk = mask_ref[0:1, sl]
-        ox, oy, oz = (o_ref[:, a:a + 1] for a in range(3))       # (TILE,1)
-        dx, dy, dz = (d_ref[:, a:a + 1] for a in range(3))
+        ox, oy, oz = (o_ref[rs, a:a + 1] for a in range(3))      # (TILE,1)
+        dx, dy, dz = (d_ref[rs, a:a + 1] for a in range(3))
 
         px = dy * e2z - dz * e2y                                 # (TILE,L)
         py = dz * e2x - dx * e2z
@@ -135,14 +198,21 @@ def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
         if any_hit:
             # shadow rays: ANY hit occludes — drop the lane's horizon to
             # -BIG so it stops pulling clusters in (te < bt never holds)
-            bt_out[:] = jnp.where(imp, -BIG, bt)
+            bt_out[rs] = jnp.where(imp, -BIG, bt)
         else:
-            bt_out[:] = jnp.where(imp, th, bt)
-        bp_out[:] = jnp.where(imp, c * leaf + j, bp)
-        return pick()
+            bt_out[rs] = jnp.where(imp, th, bt)
+        bp_out[rs] = jnp.where(imp, c * leaf + j, bp)
+        k = k + 1
+
+        @pl.when(k % refresh == 0)
+        def _():
+            fresh_score()
+
+        nc, nv = pick()
+        return k, nc, nv
 
     c0, val0 = pick()
-    lax.while_loop(lambda s: s[1] < BIG, body, (c0, val0))
+    lax.while_loop(lambda s: s[2] < BIG, body, (jnp.int32(0), c0, val0))
 
 
 @functools.partial(jax.jit,
@@ -151,8 +221,9 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
                      v0, e1, e2, mask, *, leaf, interpret=False,
                      any_hit=False):
     n = o.shape[0]
-    n_pad = -(-n // TILE) * TILE
-    pad = n_pad - n
+    blk = TILE * SUB
+    n_pad = -(-n // blk) * blk
+    pad = n_pad - n   # padded rays get tmax=0 -> dead, skipped in-kernel
 
     def pad0(x, fill=0.0):
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
@@ -164,23 +235,30 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
             pad0(bt0[:, None]), pad0(bp0[:, None], -1),
             cmin, cmax, v0, e1, e2, mask)
 
-    grid = (n_pad // TILE,)
-    ray2 = lambda w: pl.BlockSpec((TILE, w), lambda i: (i, 0),
+    grid = (n_pad // blk,)
+    ray2 = lambda w: pl.BlockSpec((blk, w), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
+    # scene tables stay in HBM; the kernel DMAs them to VMEM scratch once
+    hbm = lambda a: pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem = lambda a: pltpu.VMEM(a.shape, a.dtype)
     C = cmin.shape[1]
+    # shadow rays terminate on ANY hit, so prune stale scores sooner
+    refresh = 4 if any_hit else 8
     bt, bp = pl.pallas_call(
-        functools.partial(_traverse_kernel, leaf=leaf, any_hit=any_hit),
+        functools.partial(_traverse_kernel, leaf=leaf, any_hit=any_hit,
+                          refresh=refresh),
         grid=grid,
         in_specs=[ray2(3), ray2(3), ray2(1), ray2(1), ray2(1), ray2(1),
-                  full(cmin), full(cmax), full(v0), full(e1), full(e2),
-                  full(mask)],
+                  hbm(cmin), hbm(cmax), hbm(v0), hbm(e1), hbm(e2),
+                  hbm(mask)],
         out_specs=[ray2(1), ray2(1)],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((TILE, C), jnp.float32),
-                        pltpu.VMEM((1, C), jnp.float32)],
+                        pltpu.VMEM((1, C), jnp.float32),
+                        vmem(cmin), vmem(cmax), vmem(v0), vmem(e1),
+                        vmem(e2), vmem(mask),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(*args)
     return bt[:n, 0], bp[:n, 0]

@@ -99,10 +99,20 @@ def trace_radiance(scene, uid, cfg):
     prev_delta = jnp.ones((n,), bool)     # b==0 counts as "emission gated on"
     prev_pdf = zeros1                      # solid-angle pdf of previous bounce
     alive_counts = []
+    issued_counts = []                    # closest-hit rays actually traced
+    shadow_counts = []                    # shadow rays actually traced
     eps = jnp.float32(scene.eps)
 
     for b in range(cfg.max_bounces + 1):
-        hit = intersect(scene, o, d, tmin=zeros1, tmax=jnp.full((n,), _BIG))
+        # dead lanes get tmax=0: the traversal's (t_enter < best_t)
+        # admission test can then never pull a cluster in, so an
+        # all-dead tile costs one slab pass and exits — this is what
+        # makes the alive-first wavefront sort (below) an actual
+        # compaction (SURVEY.md §7 M5), not just a reordering
+        issued_counts.append(jnp.sum(alive.astype(jnp.float32)))
+        with jax.named_scope(f"bounce{b}_traverse"):
+            hit = intersect(scene, o, d, tmin=zeros1,
+                            tmax=jnp.where(alive, _BIG, 0.0))
         active = alive & hit.valid
         alive_counts.append(jnp.sum(active.astype(jnp.float32)))
 
@@ -139,8 +149,16 @@ def trace_radiance(scene, uid, cfg):
         cos_l = g.dot(n_l, -wi_l)
         geom_ok = (cos_p > 0.0) & (cos_l > 1e-6)
         f = eval_bsdf(scene, hit.mat, hit.n, wo, wi_l)
+        # only trace shadow rays that can contribute: live lane, light
+        # facing, and a non-zero BSDF toward it (delta lobes eval to 0 —
+        # their shadow rays were pure waste); masked lanes get tmax=0 so
+        # the traversal skips them like dead lanes above
+        want = active & geom_ok & (jnp.max(f, axis=-1) > 0.0)
+        shadow_counts.append(jnp.sum(want.astype(jnp.float32)))
         so = hit.p + ns * eps
-        occ = occluded(scene, so, wi_l, tmax=dist * (1.0 - 1e-3))
+        with jax.named_scope(f"bounce{b}_nee_shadow"):
+            occ = occluded(scene, so, wi_l,
+                           tmax=jnp.where(want, dist * (1.0 - 1e-3), 0.0))
         pdf_sa = pdf_a * dist2 / jnp.maximum(cos_l, 1e-6)
         if cfg.mis:
             pb = pdf_bsdf(scene, hit.mat, hit.n, wo, wi_l)
@@ -148,7 +166,7 @@ def trace_radiance(scene, uid, cfg):
         else:
             w_nee = 1.0
         contrib = thr * f * le_l * (w_nee * cos_p / pdf_sa)[:, None]
-        nee_on = active & geom_ok & jnp.logical_not(occ)
+        nee_on = want & jnp.logical_not(occ)
         L = L + jnp.where(nee_on[:, None], contrib, 0.0)
 
         # ---- BSDF sampling / continuation ----
@@ -184,7 +202,15 @@ def trace_radiance(scene, uid, cfg):
 
     if do_sort:
         L = L[jnp.argsort(uid)]  # restore uid order for the film reshape
-    stats = {"alive": jnp.stack(alive_counts)}
+    stats = {
+        "alive": jnp.stack(alive_counts),
+        # honest ray accounting (BASELINE.md protocol): closest-hit rays
+        # actually traced per bounce / shadow rays actually traced per
+        # bounce — the live-lane counts benchmarks report alongside the
+        # flat (bounces+1)+bounces upper bound
+        "rays_closest": jnp.stack(issued_counts),
+        "rays_shadow": jnp.stack(shadow_counts),
+    }
     return L, stats
 
 
