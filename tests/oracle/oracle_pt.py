@@ -125,6 +125,24 @@ def _onb(n):
     return t, bt
 
 
+def _power2(a, b):
+    """Power heuristic (beta=2) — mirrors integrators.pt._power2."""
+    a2 = a * a
+    return a2 / max(a2 + b * b, 1e-20)
+
+
+def pdf_light_area_np(sc: NpScene, prim):
+    """Area pdf of sampling emissive triangle `prim` (0 if not an emitter).
+
+    Mirrors tputracer.lights.pdf_light_area.
+    """
+    E = len(sc.emit_prim)
+    for i, ep in enumerate(sc.emit_prim):
+        if int(ep) == prim:
+            return 1.0 / (float(sc.emit_area[i]) * E)
+    return 0.0
+
+
 def trace_path(sc: NpScene, uid, cfg):
     seed = cfg.seed
     spp, W = cfg.spp, cfg.width
@@ -140,12 +158,26 @@ def trace_path(sc: NpScene, uid, cfg):
     L = np.zeros(3)
     thr = np.ones(3)
     prev_delta = True
+    prev_pdf = 0.0            # solid-angle pdf of the previous BSDF sample
+    mis = getattr(cfg, "mis", False)
     for b in range(cfg.max_bounces + 1):
         t, prim, p, n, mat, valid = intersect_np(sc, o, d, 0.0, BIG)
         if not valid:
             break
-        if prev_delta and np.dot(d, n) < 0:
-            L = L + thr * sc.emission[mat]
+        if np.dot(d, n) < 0:   # one-sided emission (front face)
+            if mis and b > 0:
+                # power-heuristic weight of the BSDF-sampling strategy vs
+                # NEE for this emitter hit (integrators.pt, cfg.mis=True)
+                if prev_delta:
+                    w_hit = 1.0
+                else:
+                    pl_a = pdf_light_area_np(sc, prim)
+                    cos_l = abs(float(np.dot(n, d)))
+                    pl_sa = pl_a * t * t / max(cos_l, 1e-6)
+                    w_hit = _power2(prev_pdf, pl_sa)
+            else:
+                w_hit = 1.0 if prev_delta else 0.0
+            L = L + thr * sc.emission[mat] * w_hit
         if b == cfg.max_bounces:
             break
         wo = -d
@@ -173,7 +205,12 @@ def trace_path(sc: NpScene, uid, cfg):
                 pdf_sa = pdf_a * dist2 / max(cos_l, 1e-6)
                 f = sc.albedo[mat] / np.pi
                 le = sc.emission[sc.tri_mat[lp]]
-                L = L + thr * f * le * (cos_p / pdf_sa)
+                if mis:
+                    pb = max(cos_p, 0.0) / np.pi   # diffuse sampling pdf
+                    w_nee = _power2(pdf_sa, pb)
+                else:
+                    w_nee = 1.0
+                L = L + thr * f * le * (w_nee * cos_p / pdf_sa)
 
         # BSDF sample
         ub0, ub1, ub2 = (x[()] for x in uniform3_np(np.uint32(uid), salt(b, SLOT_BSDF), seed))
@@ -187,10 +224,12 @@ def trace_path(sc: NpScene, uid, cfg):
             wi = local[0] * tt + local[1] * bb + local[2] * ns
             thr = thr * sc.albedo[mat]
             prev_delta = False
+            prev_pdf = max(float(np.dot(wi, ns)), 0.0) / np.pi
         elif kind == MIRROR:
             wi = 2.0 * np.dot(wo, ns) * ns - wo
             thr = thr * sc.albedo[mat]
             prev_delta = True
+            prev_pdf = 0.0
         else:  # GLASS
             entering = np.dot(wo, n) > 0
             ior = float(sc.ior[mat])
@@ -207,6 +246,7 @@ def trace_path(sc: NpScene, uid, cfg):
                 scale = eta**2 if cfg.transport_radiance else 1.0
                 thr = thr * sc.albedo[mat] * scale
             prev_delta = True
+            prev_pdf = 0.0
 
         # Russian roulette
         if b >= cfg.rr_start:

@@ -113,6 +113,41 @@ def test_pallas_kernel_matches_brute_interpret():
     np.testing.assert_array_equal(ob, op)
 
 
+def test_pallas_kernel_mixed_liveness_interpret():
+    """Round-2 advisor: exercise the kernel's wavefront-facing paths off-
+    TPU — per-lane tmax=0 dead lanes, varied finite tmax, all-dead
+    subtiles (any_live skip), and a ray count that is not a multiple of
+    TILE*SUB (pad path).  Dead lanes must come back invalid/unoccluded;
+    live lanes must match brute force exactly."""
+    from tputracer.accel.traverse_tpu import (SUB, TILE, intersect_pallas,
+                                              occluded_pallas)
+
+    n = TILE * SUB + 3 * TILE + 7     # spans 2 grid steps, ragged tail
+    scene = _random_scene(n_tris=300, leaf_size=16, seed=21)
+    o, d = _random_rays(n, seed=22)
+    r = np.random.default_rng(23)
+    tmax_np = r.uniform(0.5, 4.0, n).astype(np.float32)
+    # kill whole subtiles (any_live skip) and scattered single lanes
+    tmax_np[TILE:3 * TILE] = 0.0
+    tmax_np[r.integers(0, n, n // 4)] = 0.0
+    tmin = jnp.zeros((n,))
+    tmax = jnp.asarray(tmax_np)
+    hb = intersect_brute(scene, o, d, tmin, tmax)
+    hp = intersect_pallas(scene, o, d, tmin, tmax, interpret=True)
+    dead = tmax_np == 0.0
+    assert not np.asarray(hp.valid)[dead].any()
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hb.valid))
+    v = np.asarray(hb.valid)
+    np.testing.assert_array_equal(np.asarray(hp.prim)[v],
+                                  np.asarray(hb.prim)[v])
+    np.testing.assert_allclose(np.asarray(hp.t)[v], np.asarray(hb.t)[v],
+                               rtol=2e-4)
+    ob = np.asarray(occluded_brute(scene, o, d, tmax))
+    op = np.asarray(occluded_pallas(scene, o, d, tmax, interpret=True))
+    assert not op[dead].any()
+    np.testing.assert_array_equal(ob, op)
+
+
 def test_mesh_scene_grad():
     """Gradients flow through renders of clustered scenes (the traversal
     while_loop is stop_gradient-detached — SURVEY.md §3.6)."""

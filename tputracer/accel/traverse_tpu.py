@@ -239,7 +239,7 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
     ray2 = lambda w: pl.BlockSpec((blk, w), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     # scene tables stay in HBM; the kernel DMAs them to VMEM scratch once
-    hbm = lambda a: pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = lambda a: pl.BlockSpec(memory_space=pl.ANY)
     vmem = lambda a: pltpu.VMEM(a.shape, a.dtype)
     C = cmin.shape[1]
     # shadow rays terminate on ANY hit, so prune stale scores sooner
@@ -259,6 +259,13 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
                         vmem(cmin), vmem(cmax), vmem(v0), vmem(e1),
                         vmem(e2), vmem(mask),
                         pltpu.SemaphoreType.DMA(())],
+        # the DMA-once scene residency (program_id==0 loads the VMEM
+        # scratch) is only sound if grid steps run sequentially on one
+        # core — pin that instead of relying on the default (round-2
+        # advisor: a future 'parallel' megacore split would leave one
+        # core's scene scratch unloaded)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*args)
     return bt[:n, 0], bp[:n, 0]

@@ -49,6 +49,18 @@ def eval_bsdf(scene, mat, n, wo, wi):
     return jnp.where(sel[:, None], f_diff, 0.0)
 
 
+def nee_nonspecular(scene, mat):
+    """Lanes whose BSDF can evaluate nonzero toward a light (NEE gate).
+
+    Structural, not value-based: delta lobes (mirror/glass) always eval
+    to 0, so their shadow rays are pure waste and are skipped.  Diffuse
+    lanes are kept even when albedo is exactly 0 — the contribution must
+    stay in the autodiff graph so a black-initialized material still
+    receives NEE gradient (advisor finding, round 2).
+    """
+    return fetch_int(scene.mat_kind, mat) == DIFFUSE
+
+
 def pdf_bsdf(scene, mat, n, wo, wi):
     """Solid-angle sampling pdf of :func:`sample_bsdf` for MIS (diffuse only)."""
     kind = fetch_int(scene.mat_kind, mat)

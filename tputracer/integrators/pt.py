@@ -31,7 +31,8 @@ from jax import lax
 from tputracer import geometry as g
 from tputracer import rng
 from tputracer.accel import intersect, occluded
-from tputracer.bsdf import emitted, eval_bsdf, pdf_bsdf, sample_bsdf
+from tputracer.bsdf import (emitted, eval_bsdf, nee_nonspecular, pdf_bsdf,
+                            sample_bsdf)
 from tputracer.lights import pdf_light_area, sample_light
 
 _BIG = 3.0e38  # python float — see accel/bruteforce.py note
@@ -150,10 +151,13 @@ def trace_radiance(scene, uid, cfg):
         geom_ok = (cos_p > 0.0) & (cos_l > 1e-6)
         f = eval_bsdf(scene, hit.mat, hit.n, wo, wi_l)
         # only trace shadow rays that can contribute: live lane, light
-        # facing, and a non-zero BSDF toward it (delta lobes eval to 0 —
-        # their shadow rays were pure waste); masked lanes get tmax=0 so
-        # the traversal skips them like dead lanes above
-        want = active & geom_ok & (jnp.max(f, axis=-1) > 0.0)
+        # facing, and a lobe that can eval nonzero (delta lobes never do —
+        # their shadow rays were pure waste).  The gate is STRUCTURAL
+        # (material kind), not f>0: a diffuse lane with albedo exactly 0
+        # still traces, so its NEE gradient survives (round-2 advisor).
+        # Masked lanes get tmax=0 so the traversal skips them like dead
+        # lanes above.
+        want = active & geom_ok & nee_nonspecular(scene, hit.mat)
         shadow_counts.append(jnp.sum(want.astype(jnp.float32)))
         so = hit.p + ns * eps
         with jax.named_scope(f"bounce{b}_nee_shadow"):
