@@ -76,6 +76,46 @@ def test_ior_grad_finite_on_glass_scene():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_ior_grad_matches_fd():
+    """AD vs central FD on the glass IOR (SURVEY.md §4.4, §7 hard-part 3).
+
+    The detached estimator stop-gradients the reflect/refract pick AND the
+    sampled direction, so the function AD differentiates is
+    f(ior; decisions(ior0)).  The FD twin replays exactly those frozen
+    decisions via decision_scene — without it the FD pair straddles lobe
+    flips and measures a different (discontinuous) estimator.
+    """
+    scene = cornell_box("spheres")
+    cfg = CFG.with_(width=24, height=24, max_bounces=5,
+                    chunk_size=24 * 24 * 4)
+    w = jax.random.uniform(jax.random.key(3), (cfg.height, cfg.width, 3))
+
+    def f(p):
+        img, _ = render_pt(scene.replace(mat_ior=p), cfg,
+                           decision_scene=scene)
+        return jnp.sum(img * w)
+
+    p0 = scene.mat_ior
+    g_ad = jax.grad(f)(p0)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.normal(size=p0.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (float(f(p0 + eps * u)) - float(f(p0 - eps * u))) / (2 * eps)
+    ad = float(jnp.vdot(g_ad, u))
+    assert abs(ad) > 1e-6, "glass gradient unexpectedly zero"
+    assert abs(fd - ad) <= 3e-2 * max(abs(fd), abs(ad)), (fd, ad)
+
+
+def test_decision_scene_identity():
+    """decision_scene=scene must be the identity (same decisions, same
+    transport) — guards the frozen-decision plumbing itself."""
+    scene = cornell_box("spheres")
+    cfg = CFG.with_(max_bounces=4)
+    a, _ = render_pt(scene, cfg)
+    b, _ = render_pt(scene, cfg, decision_scene=scene)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_recovers_albedo_and_emission():
     scene = cornell_box("boxes")
     cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=2,

@@ -83,13 +83,25 @@ def _fresnel_dielectric(cos_i, eta_i, eta_t):
     return jnp.where(tir, 1.0, f), cos_t, tir
 
 
-def sample_bsdf(scene, mat, n, wo, u0, u1, u2, transport_radiance=True):
+def sample_bsdf(scene, mat, n, wo, u0, u1, u2, transport_radiance=True,
+                decision_scene=None):
     """Sample wi for every lane; masked-all-lobes select by material tag.
 
     Returns (wi, weight, pdf, is_delta):
       weight = f * |cos| / pdf   (with detached-pdf gradient trick)
       pdf    = solid-angle pdf (0 for delta lobes)
+
+    decision_scene: optional Scene whose parameters drive the DISCRETE
+    choices (the glass reflect/refract pick and its detached pick
+    probability) while `scene` drives the differentiable transport math.
+    Default None = `scene` (normal rendering).  This exists for the
+    finite-difference validation of IOR gradients (SURVEY.md §4.4): the
+    detached estimator's AD gradient treats decisions as constant, so the
+    FD pair must replay the decisions of the LINEARIZATION POINT —
+    rendering ior±eps with decision_scene = scene(ior0) is the estimator
+    the AD gradient actually differentiates.
     """
+    dsc = scene if decision_scene is None else decision_scene
     kind = fetch_int(scene.mat_kind, mat)
     albedo = fetch(scene.mat_albedo, mat)            # (N,3)
     ns = g.face_forward(n, wo)                       # shading-side normal
@@ -110,15 +122,29 @@ def sample_bsdf(scene, mat, n, wo, u0, u1, u2, transport_radiance=True):
     eta_t = jnp.where(entering, ior, 1.0)
     cos_i = jnp.abs(g.dot(wo, ns))
     fr, cos_t, tir = _fresnel_dielectric(cos_i, eta_i, eta_t)
-    pick_reflect = (u0 < lax.stop_gradient(fr)) | tir
+    if decision_scene is None:
+        fr_dec, cos_t_dec, tir_dec = fr, cos_t, tir
+        eta_dec = eta_i / eta_t
+    else:
+        # the AD estimator detaches BOTH the lobe pick and the sampled
+        # direction; the FD twin must therefore take pick, pick
+        # probability, and refraction geometry from the frozen scene
+        ior_d = fetch(dsc.mat_ior, mat)
+        ei_d = jnp.where(entering, 1.0, ior_d)
+        et_d = jnp.where(entering, ior_d, 1.0)
+        fr_dec, cos_t_dec, tir_dec = _fresnel_dielectric(cos_i, ei_d, et_d)
+        eta_dec = ei_d / et_d
+    pick_reflect = (u0 < lax.stop_gradient(fr_dec)) | tir_dec
     eta = eta_i / eta_t
     wi_refl = 2.0 * g.dotk(wo, ns) * ns - wo
     wi_refr = g.normalize(
-        -eta[:, None] * wo + (eta * cos_i - cos_t)[:, None] * ns)
+        -eta_dec[:, None] * wo + (eta_dec * cos_i - cos_t_dec)[:, None] * ns)
     wi_g = jnp.where(pick_reflect[:, None], wi_refl, wi_refr)
-    # detached-pdf ratio: forward == 1, backward keeps dF/d(ior)
-    pr = lax.stop_gradient(jnp.clip(fr, 1e-4, 1.0))
-    pt = lax.stop_gradient(jnp.clip(1.0 - fr, 1e-4, 1.0))
+    # detached-pdf ratio: forward == 1, backward keeps dF/d(ior).  The
+    # detached pick probability is the probability the pick was ACTUALLY
+    # made with (fr_dec, frozen-scene Fresnel), not the transport fr.
+    pr = lax.stop_gradient(jnp.clip(fr_dec, 1e-4, 1.0))
+    pt = lax.stop_gradient(jnp.clip(1.0 - fr_dec, 1e-4, 1.0))
     scale_refr = jnp.where(transport_radiance, eta**2, 1.0)  # radiance transport
     w_g_refl = (fr / pr)[:, None] * albedo
     w_g_refr = ((1.0 - fr) / pt * scale_refr)[:, None] * albedo

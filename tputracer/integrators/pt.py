@@ -78,8 +78,11 @@ def _coherence_key(scene, o, d, alive):
     return jnp.where(alive, key, 1 << 14)
 
 
-def trace_radiance(scene, uid, cfg):
+def trace_radiance(scene, uid, cfg, decision_scene=None):
     """Radiance for a chunk of paths. uid: (n,) uint32 -> (L (n,3), stats).
+
+    decision_scene: optional frozen Scene driving discrete sampling
+    decisions (see bsdf.sample_bsdf) — used by the FD gradient tests.
 
     With cfg.sort_rays (clustered scenes only), the wavefront is
     re-permuted each bounce by _coherence_key.  The counter-based RNG is
@@ -178,6 +181,7 @@ def trace_radiance(scene, uid, cfg):
         wi, wgt, pdf_b, is_delta = sample_bsdf(
             scene, hit.mat, hit.n, wo, ub0, ub1, ub2,
             transport_radiance=cfg.transport_radiance,
+            decision_scene=decision_scene,
         )
         thr = thr * wgt
 
@@ -218,7 +222,7 @@ def trace_radiance(scene, uid, cfg):
     return L, stats
 
 
-def trace_chunked(scene, uids, cfg):
+def trace_chunked(scene, uids, cfg, decision_scene=None):
     """Trace a flat (n,) uid array in cfg.chunk_size pieces -> (L (n,3), stats).
 
     The chunk loop is unrolled (static) — deliberately NOT lax.map/scan:
@@ -234,7 +238,8 @@ def trace_chunked(scene, uids, cfg):
     n_chunks = -(-n // chunk)
     assert n_chunks * chunk == n, (n, chunk)
     outs = [
-        trace_radiance(scene, uids[i * chunk:(i + 1) * chunk], cfg)
+        trace_radiance(scene, uids[i * chunk:(i + 1) * chunk], cfg,
+                       decision_scene=decision_scene)
         for i in range(n_chunks)
     ]
     L = jnp.concatenate([o[0] for o in outs], axis=0)
@@ -242,7 +247,7 @@ def trace_chunked(scene, uids, cfg):
     return L, stats
 
 
-def render_pt(scene, cfg):
+def render_pt(scene, cfg, decision_scene=None):
     """Full-frame render: chunked wavefront + film average.
 
     Returns (image (H,W,3) float32 [row 0 = top], stats).  The per-path
@@ -254,7 +259,8 @@ def render_pt(scene, cfg):
     chunk = min(cfg.chunk_size, n_total)
     n_pad = -(-n_total // chunk) * chunk
     uids = jnp.arange(n_pad, dtype=jnp.uint32)
-    L, stats = trace_chunked(scene, uids, cfg)
+    L, stats = trace_chunked(scene, uids, cfg,
+                             decision_scene=decision_scene)
     img = film_from_radiance(L[:n_total], cfg)
     return img, stats
 
