@@ -4,3 +4,4 @@ from tputracer.dist.mesh import (  # noqa: F401
     render_bdpt_sharded,
     render_sharded,
 )
+from tputracer.dist.scene_shard import render_tiled  # noqa: F401

@@ -1,0 +1,230 @@
+"""Scene tiling across the device mesh — the TP analogue (SURVEY.md §2
+parallelism table "TP", BASELINE north_star "geometry replicated or tiled
+per host").
+
+DP (dist.mesh) replicates the whole scene on every chip; for scenes that
+outgrow a chip's HBM the *cluster-major* geometry arrays are instead
+sharded over the mesh axis: each device holds C/P clusters (a contiguous
+slice of the triangle SoA plus its AABBs).  Rays then traverse the whole
+scene by **rotating around the ICI ring**: each device intersects its
+resident ray block against its local cluster shard, then ``ppermute``-s
+the rays (plus their running best-hit carry) to the next device; after P
+steps every ray has visited every shard and is back home with the global
+nearest hit.  This is the ring-attention communication pattern applied
+to traversal — constant per-device memory, P-1 neighbor exchanges, no
+all-gather of geometry.
+
+Everything except the big triangle/cluster arrays (materials, emitter
+tables, camera, spheres-free) stays replicated: the hit carry returns
+the *global* primitive id and the locally-fetched normal/material, so
+shading and NEE never touch a remote shard.
+
+The reference has no distribution layer at all (SURVEY.md §2); this and
+dist.mesh are the new framework's scaling story.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P  # noqa: F401
+from jax import shard_map
+
+from tputracer.accel.bruteforce import Hit
+from tputracer.accel.clustered import _detach, _traverse, cluster_entries  # noqa: F401
+from tputracer.integrators.pt import film_from_radiance, trace_chunked
+from tputracer.lookup import fetch, fetch_int
+
+_BIG = 3.0e38
+
+
+def pad_scene_clusters(scene, n_shards):
+    """Pad the cluster arrays so C divides n_shards (never-hit AABBs,
+    masked triangles) — host-side, before sharding."""
+    if scene.n_spheres:
+        raise NotImplementedError(
+            "scene tiling shards the cluster-major triangle arrays; "
+            "analytic spheres stay replicated in dist.mesh's DP path")
+    C = scene.n_clusters
+    if C == 0:
+        raise ValueError("scene tiling needs a clustered scene")
+    Cp = -(-C // n_shards) * n_shards
+    if Cp == C:
+        return scene
+    L = scene.leaf_size
+    padc = Cp - C
+    padt = padc * L
+
+    def padt0(x, fill=0.0):
+        return jnp.pad(x, [(0, padt)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    return scene.replace(
+        tri_v0=padt0(scene.tri_v0), tri_e1=padt0(scene.tri_e1),
+        tri_e2=padt0(scene.tri_e2), tri_n=padt0(scene.tri_n),
+        tri_mat=padt0(scene.tri_mat), tri_mask=padt0(scene.tri_mask),
+        plu=jnp.pad(scene.plu, [(0, 0), (0, 0), (0, padt)]),
+        clus_min=jnp.pad(scene.clus_min, [(0, padc), (0, 0)],
+                         constant_values=_BIG),
+        clus_max=jnp.pad(scene.clus_max, [(0, padc), (0, 0)],
+                         constant_values=_BIG),
+    )
+
+
+def scene_tiling_specs(scene, axes):
+    """PartitionSpecs tiling the cluster-major geometry over `axes`;
+    every other leaf (materials, lights, camera) replicated."""
+    tiled_2d = P(axes)        # leading axis = cluster-major triangles
+    specs = jax.tree.map(lambda _: P(), scene)
+    return specs.replace(
+        tri_v0=tiled_2d, tri_e1=tiled_2d, tri_e2=tiled_2d, tri_n=tiled_2d,
+        tri_mat=P(axes), tri_mask=P(axes),
+        plu=P(None, None, axes),
+        clus_min=tiled_2d, clus_max=tiled_2d,
+    )
+
+
+def _ring_perm(axes):
+    """Forward-ring permutation over the flattened mesh axes."""
+    n = 1
+    for ax in axes:
+        n *= lax.axis_size(ax)
+    return [(i, (i + 1) % n) for i in range(n)], n
+
+
+def _local_best(scene_loc, o, d, tmin, tmax, bt, any_hit):
+    """Nearest (or any) hit of rays against the LOCAL cluster shard.
+    Returns (t, local_prim) with t=_BIG on miss."""
+    n = o.shape[0]
+    t, prim = _traverse(scene_loc, o, d, tmin, tmax,
+                        jnp.minimum(bt, tmax), jnp.full((n,), -1, jnp.int32),
+                        any_hit=any_hit)
+    return t, prim
+
+
+def make_ring_backends(axes, n_shards):
+    """(intersect_fn, occluded_fn) closures implementing ring traversal
+    inside a shard_map over `axes`.  The scene passed to them is the
+    LOCAL shard (C/P clusters), whose triangle ids are offset by
+    shard_index * T_local in the global id space.
+    """
+
+    def _shard_index():
+        i = jnp.int32(0)
+        for ax in axes:
+            i = i * lax.axis_size(ax) + lax.axis_index(ax)
+        return i
+
+    def intersect_ring(scene, o, d, tmin, tmax):
+        od, dd, tn, tx = _detach(o, d, tmin, tmax)
+        sc = lax.stop_gradient(scene)
+        n = od.shape[0]
+        T_loc = sc.n_tri_pad
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        me = _shard_index()
+
+        best_t = tx
+        best_gprim = jnp.full((n,), -1, jnp.int32)
+        best_n = jnp.zeros((n, 3), jnp.float32)
+        best_mat = jnp.zeros((n,), jnp.int32)
+        state = (od, dd, tn, tx, best_t, best_gprim, best_n, best_mat)
+        for r in range(n_shards):
+            od, dd, tn, tx, best_t, best_gprim, best_n, best_mat = state
+            t, lprim = _local_best(sc, od, dd, tn, tx, best_t,
+                                   any_hit=False)
+            improve = t < best_t
+            lp = jnp.where(improve, lprim, 0)
+            # fetch hit attributes while the owning shard is resident
+            n_hit = fetch(sc.tri_n, lp)
+            m_hit = fetch_int(sc.tri_mat, lp)
+            # global id: the rays currently resident here started on
+            # shard (me - r), but the PRIM lives on THIS shard
+            gprim = me * T_loc + lprim
+            best_gprim = jnp.where(improve, gprim, best_gprim)
+            best_n = jnp.where(improve[:, None], n_hit, best_n)
+            best_mat = jnp.where(improve, m_hit, best_mat)
+            best_t = jnp.where(improve, t, best_t)
+            state = (od, dd, tn, tx, best_t, best_gprim, best_n, best_mat)
+            if n_shards > 1:
+                state = jax.tree.map(
+                    lambda x: lax.ppermute(x, axes[0], perm), state)
+        od, dd, tn, tx, best_t, best_gprim, best_n, best_mat = state
+
+        valid = best_t < tx
+        nrm = best_n / jnp.maximum(
+            jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
+        p = od + jnp.where(valid, best_t, 1.0)[:, None] * dd
+        return Hit(
+            t=best_t,
+            prim=jnp.where(valid, best_gprim, -1),
+            valid=valid,
+            p=p,
+            n=jnp.where(valid[:, None], nrm, 0.0),
+            mat=jnp.where(valid, best_mat, 0),
+        )
+
+    def occluded_ring(scene, o, d, tmax):
+        o, d, tmax = _detach(o, d, tmax)
+        sc = lax.stop_gradient(scene)
+        n = o.shape[0]
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        occ = jnp.zeros((n,), bool)
+        state = (o, d, tmax, occ)
+        for r in range(n_shards):
+            o, d, tmax, occ = state
+            # already-occluded lanes get tmax=0: the traversal skips them
+            t, _ = _local_best(sc, o, d, jnp.zeros((n,), jnp.float32),
+                               jnp.where(occ, 0.0, tmax),
+                               jnp.where(occ, 0.0, tmax), any_hit=True)
+            occ = occ | (t < tmax)
+            state = (o, d, tmax, occ)
+            if n_shards > 1:
+                state = jax.tree.map(
+                    lambda x: lax.ppermute(x, axes[0], perm), state)
+        return state[3]
+
+    return intersect_ring, occluded_ring
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _render_tiled_jit(scene, cfg, mesh):
+    axes = mesh.axis_names
+    if len(axes) != 1:
+        raise NotImplementedError("scene tiling rings over a 1-axis mesh")
+    n_shards = int(np.prod(mesh.devices.shape))
+    rows_per = cfg.height // n_shards
+    if rows_per * n_shards != cfg.height:
+        raise ValueError("height must divide the mesh size")
+    n_total = cfg.width * cfg.height * cfg.spp
+    scene = pad_scene_clusters(scene, n_shards)
+    isect, occl = make_ring_backends(axes, n_shards)
+
+    def shard_body(scene_loc, uids):
+        L, stats = trace_chunked(scene_loc, uids, cfg,
+                                 intersect_fn=isect, occluded_fn=occl)
+        img = film_from_radiance(L, cfg, rows=rows_per, flip=False)
+        stats = jax.tree.map(lambda x: lax.psum(x, axes), stats)
+        return img, stats
+
+    uids = jnp.arange(n_total, dtype=jnp.uint32)
+    f = shard_map(
+        shard_body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(scene_tiling_specs(scene, axes), P(axes)),
+        out_specs=(P(axes), P()),
+    )
+    img, stats = f(scene, uids)
+    return img[::-1], stats
+
+
+def render_tiled(scene, cfg, mesh):
+    """Full-frame render with the GEOMETRY tiled over the mesh (per-device
+    scene footprint = C/P clusters) and rays ring-rotated past every
+    shard.  Matches dist.mesh.render_sharded / api.render up to the
+    traversal's cluster visit order (identical hits; identical RNG)."""
+    return _render_tiled_jit(scene, cfg, mesh)

@@ -78,11 +78,15 @@ def _coherence_key(scene, o, d, alive):
     return jnp.where(alive, key, 1 << 14)
 
 
-def trace_radiance(scene, uid, cfg, decision_scene=None):
+def trace_radiance(scene, uid, cfg, decision_scene=None,
+                   intersect_fn=None, occluded_fn=None):
     """Radiance for a chunk of paths. uid: (n,) uint32 -> (L (n,3), stats).
 
     decision_scene: optional frozen Scene driving discrete sampling
     decisions (see bsdf.sample_bsdf) — used by the FD gradient tests.
+    intersect_fn / occluded_fn: optional intersection backends with the
+    accel.intersect / accel.occluded signatures — the scene-tiled
+    renderer (dist.scene_shard) plugs its ring traversal in here.
 
     With cfg.sort_rays (clustered scenes only), the wavefront is
     re-permuted each bounce by _coherence_key.  The counter-based RNG is
@@ -93,6 +97,8 @@ def trace_radiance(scene, uid, cfg, decision_scene=None):
     (SURVEY.md §7 M5: compaction/sorting only pays off for deep,
     incoherent workloads)."""
     n = uid.shape[0]
+    isect = intersect if intersect_fn is None else intersect_fn
+    occl = occluded if occluded_fn is None else occluded_fn
     o, d = camera_rays(scene, uid, cfg)
     do_sort = cfg.sort_rays and scene.n_clusters > 0
     zeros1 = jnp.zeros((n,), jnp.float32)
@@ -115,8 +121,8 @@ def trace_radiance(scene, uid, cfg, decision_scene=None):
         # compaction (SURVEY.md §7 M5), not just a reordering
         issued_counts.append(jnp.sum(alive.astype(jnp.float32)))
         with jax.named_scope(f"bounce{b}_traverse"):
-            hit = intersect(scene, o, d, tmin=zeros1,
-                            tmax=jnp.where(alive, _BIG, 0.0))
+            hit = isect(scene, o, d, tmin=zeros1,
+                        tmax=jnp.where(alive, _BIG, 0.0))
         active = alive & hit.valid
         alive_counts.append(jnp.sum(active.astype(jnp.float32)))
 
@@ -164,8 +170,8 @@ def trace_radiance(scene, uid, cfg, decision_scene=None):
         shadow_counts.append(jnp.sum(want.astype(jnp.float32)))
         so = hit.p + ns * eps
         with jax.named_scope(f"bounce{b}_nee_shadow"):
-            occ = occluded(scene, so, wi_l,
-                           tmax=jnp.where(want, dist * (1.0 - 1e-3), 0.0))
+            occ = occl(scene, so, wi_l,
+                       tmax=jnp.where(want, dist * (1.0 - 1e-3), 0.0))
         pdf_sa = pdf_a * dist2 / jnp.maximum(cos_l, 1e-6)
         if cfg.mis:
             pb = pdf_bsdf(scene, hit.mat, hit.n, wo, wi_l)
@@ -222,7 +228,8 @@ def trace_radiance(scene, uid, cfg, decision_scene=None):
     return L, stats
 
 
-def trace_chunked(scene, uids, cfg, decision_scene=None):
+def trace_chunked(scene, uids, cfg, decision_scene=None,
+                  intersect_fn=None, occluded_fn=None):
     """Trace a flat (n,) uid array in cfg.chunk_size pieces -> (L (n,3), stats).
 
     The chunk loop is unrolled (static) — deliberately NOT lax.map/scan:
@@ -239,7 +246,8 @@ def trace_chunked(scene, uids, cfg, decision_scene=None):
     assert n_chunks * chunk == n, (n, chunk)
     outs = [
         trace_radiance(scene, uids[i * chunk:(i + 1) * chunk], cfg,
-                       decision_scene=decision_scene)
+                       decision_scene=decision_scene,
+                       intersect_fn=intersect_fn, occluded_fn=occluded_fn)
         for i in range(n_chunks)
     ]
     L = jnp.concatenate([o[0] for o in outs], axis=0)
