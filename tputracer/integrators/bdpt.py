@@ -237,22 +237,11 @@ def _mis_weight(scene, cam, ys, zs, s, t):
     return 1.0 / (1.0 + sum_ri)
 
 
-def trace_bdpt(scene, uid, cfg):
-    """BDPT radiance for a chunk of paths.
-
-    Returns (L_own (n,3) per-path radiance for t>=2 strategies,
-             splat (H*W, 3) film scatter from t=1 light tracing — in uid
-             pixel layout (row 0 = bottom), NOT yet divided by the global
-             path count).
-    """
+def eye_subpaths(scene, uid, cfg):
+    """Camera vertex + wavefront eye walk -> vertex SoA list zs."""
     n = uid.shape[0]
     cam = scene.camera
-    eps = jnp.float32(scene.eps)
-    zeros1 = jnp.zeros((n,), jnp.float32)
     E = cfg.max_bounces + 1       # surface vertices per subpath
-    V = cfg.max_bounces + 2       # max total vertices incl. camera
-
-    # ---- eye subpath: camera vertex + wavefront walk ----
     o, d = camera_rays(scene, uid, cfg)
     w_fwd = _camera_forward(cam)
     cam_v = dict(
@@ -261,17 +250,22 @@ def trace_bdpt(scene, uid, cfg):
         wo=jnp.zeros((n, 3), jnp.float32),
         beta=jnp.ones((n, 3), jnp.float32),
         pdf_fwd=jnp.ones((n,), jnp.float32),
-        pdf_rev=zeros1,
+        pdf_rev=jnp.zeros((n,), jnp.float32),
         mat=jnp.zeros((n,), jnp.int32),
         prim=jnp.full((n,), -1, jnp.int32),
         delta=jnp.zeros((n,), bool),
         valid=jnp.ones((n,), bool),
     )
-    zs = [cam_v] + _walk(
+    return [cam_v] + _walk(
         scene, o, d, jnp.ones((n, 3), jnp.float32), _camera_pdf_sa(cam, d),
         uid, cfg, E, rng.SLOT_BSDF, origin=None, transport_radiance=True)
 
-    # ---- light subpath: emitter sample + importance-transport walk ----
+
+def light_subpaths(scene, uid, cfg):
+    """Emitter sample + importance-transport walk -> vertex SoA list ys."""
+    n = uid.shape[0]
+    eps = jnp.float32(scene.eps)
+    E = cfg.max_bounces + 1
     u0, u1, u2 = rng.uniform3(uid, rng.salt(0, rng.SLOT_LIGHT_ORIGIN), cfg.seed)
     yp, n_l, le, pdf_a, lprim, lmat = sample_light(scene, u0, u1, u2)
     y0 = dict(
@@ -280,7 +274,7 @@ def trace_bdpt(scene, uid, cfg):
         wo=jnp.zeros((n, 3), jnp.float32),
         beta=le / pdf_a[:, None],
         pdf_fwd=pdf_a,
-        pdf_rev=zeros1,
+        pdf_rev=jnp.zeros((n,), jnp.float32),
         mat=lmat,
         prim=lprim,
         delta=jnp.zeros((n,), bool),
@@ -289,26 +283,40 @@ def trace_bdpt(scene, uid, cfg):
     v0, v1, v2 = rng.uniform3(uid, rng.salt(0, rng.SLOT_LIGHT_DIR), cfg.seed)
     d0 = g.to_world(g.cosine_sample_hemisphere(v1, v2), n_l)
     pdf_d0 = jnp.maximum(g.dot(d0, n_l), 0.0) / _PI
-    ys = [y0] + _walk(
+    return [y0] + _walk(
         scene, yp + n_l * eps, d0, y0["beta"] * _PI, pdf_d0,
         uid, cfg, E, rng.SLOT_LBSDF, origin=y0,
         transport_radiance=False, start_p=yp)
 
-    L_own = jnp.zeros((n, 3), jnp.float32)
-    n_pix = cfg.width * cfg.height
-    splat = jnp.zeros((n_pix, 3), jnp.float32)
 
-    # ---- s=0: eye path hits an emitter (weighted unidirectional) ----
+def s0_radiance(scene, cfg, zs):
+    """s=0 strategies: the eye path hits an emitter (weighted
+    unidirectional).  Depends only on the eye subpath."""
+    cam = scene.camera
+    n = zs[0]["pdf_fwd"].shape[0]
+    V = cfg.max_bounces + 2
+    L_own = jnp.zeros((n, 3), jnp.float32)
     for t in range(2, min(len(zs), V) + 1):
         z = zs[t - 1]
         le_hit = emitted(scene, z["mat"], z["ng"], -z["wo"])
         _, is_em = pdf_light_area(scene, z["prim"])
-        w = _mis_weight(scene, cam, ys, zs, 0, t)
+        w = _mis_weight(scene, cam, [], zs, 0, t)
         mask = z["valid"] & is_em
         L_own = L_own + jnp.where(
             mask[:, None], z["beta"] * le_hit * w[:, None], 0.0)
+    return L_own
 
-    # ---- s>=1, t>=2: vertex connections with one shadow batch each ----
+
+def connection_radiance(scene, cfg, ys, zs):
+    """s>=1, t>=2 vertex-connection strategies: one masked batch + one
+    shadow-ray batch per (s, t).  ys and zs may come from DIFFERENT path
+    sets (the ring-sharded renderer pairs each eye subpath with rotated
+    light-subpath blocks — SURVEY.md §2 SP row)."""
+    cam = scene.camera
+    eps = jnp.float32(scene.eps)
+    n = zs[0]["pdf_fwd"].shape[0]
+    V = cfg.max_bounces + 2
+    L_own = jnp.zeros((n, 3), jnp.float32)
     for t in range(2, len(zs) + 1):
         for s in range(1, min(len(ys), V - t) + 1):
             y, z = ys[s - 1], zs[t - 1]
@@ -336,8 +344,20 @@ def trace_bdpt(scene, uid, cfg):
             mask = mask & jnp.logical_not(occ)
             w = _mis_weight(scene, cam, ys, zs, s, t)
             L_own = L_own + jnp.where(mask[:, None], c * w[:, None], 0.0)
+    return L_own
 
-    # ---- t=1: light tracing splats through the pinhole ----
+
+def t1_splats(scene, cfg, ys, zs):
+    """t=1 light-tracing strategies: splat light-subpath vertices through
+    the pinhole onto the film (segment_sum scatter).  Depends only on the
+    light subpath (zs supplies just the shared camera vertex for the MIS
+    chain).  Returns (H*W, 3) in uid pixel layout (row 0 = bottom)."""
+    cam = scene.camera
+    w_fwd = _camera_forward(cam)
+    n = ys[0]["pdf_fwd"].shape[0]
+    V = cfg.max_bounces + 2
+    n_pix = cfg.width * cfg.height
+    splat = jnp.zeros((n_pix, 3), jnp.float32)
     A = _camera_area(cam)
     for s in range(1, min(len(ys), V - 1) + 1):
         y = ys[s - 1]
@@ -378,8 +398,22 @@ def trace_bdpt(scene, uid, cfg):
         pix_id = jnp.where(mask, py * cfg.width + px, n_pix)
         splat = splat + jax.ops.segment_sum(
             c, pix_id, num_segments=n_pix + 1)[:n_pix]
+    return splat
 
-    return L_own, splat
+
+def trace_bdpt(scene, uid, cfg):
+    """BDPT radiance for a chunk of paths.
+
+    Returns (L_own (n,3) per-path radiance for t>=2 strategies,
+             splat (H*W, 3) film scatter from t=1 light tracing — in uid
+             pixel layout (row 0 = bottom), NOT yet divided by the global
+             path count).
+    """
+    zs = eye_subpaths(scene, uid, cfg)
+    ys = light_subpaths(scene, uid, cfg)
+    L_own = s0_radiance(scene, cfg, zs) + connection_radiance(
+        scene, cfg, ys, zs)
+    return L_own, t1_splats(scene, cfg, ys, zs)
 
 
 def trace_bdpt_rows(scene, uids, cfg, rows_budget=None):
