@@ -36,21 +36,32 @@ def main():
     np.asarray(img)
 
     times = []
+    stats = None
     for _ in range(5):
         t0 = time.perf_counter()
-        img, _ = render(scene, cfg)
+        img, stats = render(scene, cfg)
         img.block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
     n_paths = cfg.width * cfg.height * cfg.spp
+    # flat upper bound: every lane does full work on TPU whether alive or
+    # not, so (bounces+1) closest + bounces shadow segments per path is
+    # the work actually dispatched.  The HONEST live-lane counts (exact
+    # per-bounce issued closest-hit + shadow rays from the integrator's
+    # stats) are reported alongside.
     rays = n_paths * (cfg.max_bounces + 1 + cfg.max_bounces)
+    rays_issued = float(np.asarray(stats["rays_closest"]).sum()
+                        + np.asarray(stats["rays_shadow"]).sum())
     rays_per_s = rays / dt
     print(json.dumps({
         "metric": "rays_per_s",
         "value": round(rays_per_s),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / 100e6, 4),
+        "rays_issued": round(rays_issued),
+        "issued_rays_per_s": round(rays_issued / dt),
+        "render_s": round(dt, 4),
     }))
 
 

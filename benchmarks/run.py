@@ -51,25 +51,45 @@ def jaxify(x):
     jax.block_until_ready(x)
 
 
+def _issued(stats):
+    """Honest live-lane ray count from the integrator's per-bounce stats
+    (BASELINE.md protocol: reported alongside the flat upper bound)."""
+    return round(float(np.asarray(stats["rays_closest"]).sum()
+                       + np.asarray(stats["rays_shadow"]).sum()))
+
+
+def _pt_bench(scene, cfg, reps=5):
+    dt = _timed(lambda: render_fn()(scene, cfg)[0], reps=reps)
+    _, stats = render_fn()(scene, cfg)
+    paths = cfg.width * cfg.height * cfg.spp
+    rays = paths * (cfg.max_bounces + 1 + cfg.max_bounces)
+    issued = _issued(stats)
+    return {"rays_per_s": round(rays / dt), "render_s": round(dt, 4),
+            "rays_issued": issued,
+            "issued_rays_per_s": round(issued / dt)}
+
+
+def render_fn():
+    from tputracer.api import render
+
+    return render
+
+
 def bench_pt_cornell(quick):
     """Config 1: Cornell box, unidirectional PT, 4 bounces, 16 spp, 512^2."""
-    from tputracer.api import render
     from tputracer.config import RenderConfig
     from tputracer.scene import cornell_box
 
     size = 256 if quick else 512
     scene = cornell_box("boxes")
     cfg = RenderConfig(width=size, height=size, spp=16, max_bounces=4)
-    dt = _timed(lambda: render(scene, cfg)[0])
-    paths = size * size * cfg.spp
-    rays = paths * (cfg.max_bounces + 1 + cfg.max_bounces)
-    return {"rays_per_s": round(rays / dt), "render_s": round(dt, 4),
-            "paths": paths}
+    out = _pt_bench(scene, cfg)
+    out["paths"] = size * size * cfg.spp
+    return out
 
 
 def bench_cornell_glass(quick):
     """Config 2: Cornell + glass/mirror spheres, RR, 64 spp."""
-    from tputracer.api import render
     from tputracer.config import RenderConfig
     from tputracer.scene import cornell_box
 
@@ -77,15 +97,11 @@ def bench_cornell_glass(quick):
     scene = cornell_box("spheres")
     cfg = RenderConfig(width=size, height=size, spp=64, max_bounces=6,
                        rr_start=3)
-    dt = _timed(lambda: render(scene, cfg)[0])
-    paths = size * size * cfg.spp
-    rays = paths * (cfg.max_bounces + 1 + cfg.max_bounces)
-    return {"rays_per_s": round(rays / dt), "render_s": round(dt, 4)}
+    return _pt_bench(scene, cfg)
 
 
 def bench_mesh(quick):
     """Config 3: ~100k-tri mesh, PT 8 bounces, cluster-BVH traversal."""
-    from tputracer.api import render
     from tputracer.config import RenderConfig
     from tputracer.scene import mesh_scene
 
@@ -93,11 +109,9 @@ def bench_mesh(quick):
     size = 64 if quick else 256
     cfg = RenderConfig(width=size, height=size, spp=4, max_bounces=8,
                        rr_start=3, chunk_size=1 << 16)
-    dt = _timed(lambda: render(scene, cfg)[0], reps=3)
-    paths = size * size * cfg.spp
-    rays = paths * (cfg.max_bounces + 1 + cfg.max_bounces)
-    return {"rays_per_s": round(rays / dt), "render_s": round(dt, 4),
-            "n_tris": scene.n_tris, "n_clusters": scene.n_clusters}
+    out = _pt_bench(scene, cfg, reps=3)
+    out.update(n_tris=scene.n_tris, n_clusters=scene.n_clusters)
+    return out
 
 
 def bench_bdpt_caustic(quick):
@@ -144,10 +158,12 @@ def bench_inverse(quick):
     opt_state = opt.init(params)
     sc = scene.replace(**params)
 
+    from tputracer.dist import fit_step_opt_sharded
+
     def step():
-        loss, grads = fit_step_sharded(sc, params, target, cfg, mesh)
-        updates, _ = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), loss
+        # the fused one-dispatch step (render+bwd+psum+adam+project)
+        return fit_step_opt_sharded(sc, params, target, cfg, mesh, opt,
+                                    opt_state)
 
     dt = _timed(step, reps=3)
     paths = size * size * cfg.spp
@@ -166,13 +182,47 @@ BENCHES = {
 }
 
 
+_METRIC = {"inverse": "steps_per_s"}   # default metric: rays_per_s
+
+
+def _check_regressions(out_path, names, tol=0.10):
+    """SURVEY.md §4.6: fail (exit 1) if the freshest run of any config
+    regressed >tol vs the best prior same-mode record in results.jsonl."""
+    records = []
+    with open(out_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+    failed = False
+    for name in names:
+        metric = _METRIC.get(name, "rays_per_s")
+        hist = [r for r in records
+                if r.get("bench") == name and not r.get("quick")
+                and metric in r]
+        if len(hist) < 2:
+            print(f"check {name}: no prior record, skipped")
+            continue
+        fresh, prior = hist[-1][metric], max(r[metric] for r in hist[:-1])
+        ratio = fresh / prior
+        verdict = "OK" if ratio >= 1.0 - tol else "REGRESSION"
+        print(f"check {name}: {fresh:.4g} vs best prior {prior:.4g} "
+              f"({ratio:.2%}) {verdict}")
+        failed |= verdict == "REGRESSION"
+    return 1 if failed else 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of: " + ",".join(BENCHES))
+    ap.add_argument("--check", action="store_true",
+                    help="after running, exit 1 on >10%% regression vs the "
+                         "best prior results.jsonl record per config")
     args = ap.parse_args(argv)
     names = args.only.split(",") if args.only else list(BENCHES)
+    out_path = os.path.join(os.path.dirname(__file__), "results.jsonl")
 
     if len(names) > 1:
         # one subprocess per bench: the axon backend reliably errors
@@ -186,12 +236,13 @@ def main(argv=None):
             if args.quick:
                 cmd.append("--quick")
             subprocess.run(cmd, check=False)
+        if args.check:
+            raise SystemExit(_check_regressions(out_path, names))
         return
 
     import jax
 
     name = names[0]
-    out_path = os.path.join(os.path.dirname(__file__), "results.jsonl")
     rec = {"bench": name, "quick": args.quick,
            "backend": jax.default_backend(),
            "device": str(jax.devices()[0])}
@@ -200,6 +251,8 @@ def main(argv=None):
     print(line, flush=True)
     with open(out_path, "a") as fh:
         fh.write(line + "\n")
+    if args.check:
+        raise SystemExit(_check_regressions(out_path, [name]))
 
 
 if __name__ == "__main__":

@@ -12,7 +12,8 @@ import pytest
 
 from tputracer.api import render
 from tputracer.config import RenderConfig
-from tputracer.dist import fit_step_sharded, make_mesh, render_sharded
+from tputracer.dist import (fit_step_opt_sharded, fit_step_sharded,
+                            make_mesh, render_sharded)
 from tputracer.scene import cornell_box
 
 CFG = RenderConfig(width=16, height=16, spp=2, max_bounces=2, rr_start=1,
@@ -72,3 +73,28 @@ def test_fit_step_sharded_matches_single_device_grads(scene):
     np.testing.assert_allclose(
         np.asarray(grads1["mat_albedo"]), np.asarray(grads8["mat_albedo"]),
         rtol=1e-4, atol=1e-7)
+
+
+def test_fit_step_opt_sharded_fused(scene):
+    """The fused single-dispatch step (render+bwd+psum+adam+project) must
+    match fit_step_sharded + a separate optax update."""
+    import optax
+
+    target, _ = render(scene, CFG)
+    params = {"mat_albedo": scene.mat_albedo * 0.5}
+    sc = scene.replace(**params)
+    mesh = make_mesh((8,), ("dp",))
+    opt = optax.adam(1e-1)
+    st = opt.init(params)
+
+    loss_a, grads = fit_step_sharded(sc, params, target, CFG, mesh)
+    updates, st_a = opt.update(grads, st, params)
+    p_a = jax.tree.map(lambda p, u: jnp.clip(p + u, 0.0, 1.0),
+                       params, updates)
+
+    loss_b, p_b, st_b = fit_step_opt_sharded(sc, params, target, CFG,
+                                             mesh, opt, st)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_a["mat_albedo"]),
+                               np.asarray(p_b["mat_albedo"]),
+                               rtol=1e-6, atol=1e-7)

@@ -25,12 +25,18 @@ class RenderConfig:
     transport_radiance: bool = True
     sort_rays: bool = False       # M5: re-sort the wavefront by (alive,
                                   # direction octant, origin cell) each
-                                  # bounce. Measured on the mesh config:
-                                  # a wash (-5%%) once the traversal
-                                  # kernel got any-hit exit + TILE=64 —
-                                  # the sort/gather cost eats its
-                                  # coherence gain. Kept as an opt-in
-                                  # knob for deeper path depths.
+                                  # bounce. Measured on the mesh config
+                                  # (round 2): a wash (-5%%) once the
+                                  # traversal kernel got any-hit exit +
+                                  # TILE=64. Round 3: the 8-bounce mesh
+                                  # program with per-bounce argsort +
+                                  # full-state gathers additionally
+                                  # fails to compile within 20 min on
+                                  # the axon backend (two attempts) —
+                                  # stays default-off; prefer the
+                                  # in-kernel dead-subtile skip, which
+                                  # captures the compaction win without
+                                  # the sort.
 
     def with_(self, **kw):
         return replace(self, **kw)

@@ -187,3 +187,30 @@ def fit_step_sharded(scene, params, target, cfg, mesh):
     per-shard, flipped internally to match uid order).
     """
     return _fit_step_jit(scene, params, target, cfg, mesh)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _fit_step_opt_jit(scene, params, target, cfg, mesh, opt, opt_state):
+    import optax
+
+    from tputracer.fit import _project
+
+    # nested jit inlines: the whole step compiles to one program
+    loss, grads = _fit_step_jit(scene, params, target, cfg, mesh)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = _project(optax.apply_updates(params, updates))
+    return loss, params, opt_state
+
+
+def fit_step_opt_sharded(scene, params, target, cfg, mesh, opt, opt_state):
+    """Fully-fused optimization step: render + backward + grad psum +
+    optimizer update + projection in ONE jit program.
+
+    One dispatch per step instead of one jit plus dozens of op-by-op
+    optax dispatches — on the axon tunnel each host->device dispatch
+    costs ~ms, so the fused step is what the inverse-rendering
+    throughput numbers (BASELINE config 5) should measure.
+    Returns (loss, new_params, new_opt_state).
+    """
+    return _fit_step_opt_jit(scene, params, target, cfg, mesh, opt,
+                             opt_state)

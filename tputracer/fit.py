@@ -110,20 +110,16 @@ def fit(
             checkpoint_path, params, opt_state)
 
     if mesh is not None:
-        from tputracer.dist import fit_step_sharded
-
-        @jax.jit
-        def _update(params, grads, opt_state):
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return _project(optax.apply_updates(params, updates)), opt_state
+        from tputracer.dist import fit_step_opt_sharded
 
     history = []
     logf = open(log_file, "a") if log_file else None
     for step in range(start, steps):
         sc = scene.replace(**params)
         if mesh is not None:
-            loss, grads = fit_step_sharded(sc, params, target, cfg, mesh)
-            params, opt_state = _update(params, grads, opt_state)
+            # fused single-dispatch step: render+bwd+psum+update+project
+            loss, params, opt_state = fit_step_opt_sharded(
+                sc, params, target, cfg, mesh, opt, opt_state)
         else:
             loss, params, opt_state = _fit_step_single(
                 scene, params, target, cfg, opt, opt_state)
