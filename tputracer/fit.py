@@ -89,11 +89,14 @@ def fit(
     resume=True,
     log_every=10,
     log_file=None,
+    tensorboard_dir=None,
 ):
     """Gradient-descend scene parameters toward a target image.
 
     Returns (fitted_scene, params, history) where history is a list of
-    {"step": i, "loss": v} dicts.
+    {"step": i, "loss": v} dicts.  Observability (SURVEY.md §5): history
+    + optional JSONL (log_file) + optional TensorBoard scalars
+    (tensorboard_dir; loss, step time, per-parameter mean |value|).
     """
     from tputracer.config import RenderConfig
 
@@ -114,6 +117,13 @@ def fit(
 
     history = []
     logf = open(log_file, "a") if log_file else None
+    tb = None
+    if tensorboard_dir:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(tensorboard_dir)
+    import time as _time
+    t_last = _time.perf_counter()
     for step in range(start, steps):
         sc = scene.replace(**params)
         if mesh is not None:
@@ -127,6 +137,14 @@ def fit(
         history.append(rec)
         if logf:
             logf.write(json.dumps(rec) + "\n")
+        if tb:
+            now = _time.perf_counter()
+            tb.add_scalar("fit/loss", rec["loss"], step)
+            tb.add_scalar("fit/step_seconds", now - t_last, step)
+            t_last = now
+            for k, v in params.items():
+                tb.add_scalar(f"fit/{k}_mean_abs",
+                              float(jnp.mean(jnp.abs(v))), step)
         if log_every and step % log_every == 0:
             print(f"fit step {step}: loss {rec['loss']:.6f}")
         if checkpoint_path and checkpoint_every and (
@@ -134,4 +152,6 @@ def fit(
             save_checkpoint(checkpoint_path, step + 1, params, opt_state)
     if logf:
         logf.close()
+    if tb:
+        tb.close()
     return scene.replace(**params), params, history
