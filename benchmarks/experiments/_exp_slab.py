@@ -138,6 +138,73 @@ def _kern_tr(o_ref, d_ref, tmin_ref, tmax_ref, cmin_hbm, cmax_hbm,
         out[0:1, rs] = jnp.min(te_scr[:], axis=0, keepdims=True)
 
 
+def _kern_chunk(o_ref, d_ref, tmin_ref, tmax_ref, cmin_hbm, cmax_hbm,
+                out, te_scr, cmin_ref, cmax_ref, sem, *, ck):
+    # identical math to _kern_cur but looped over cluster chunks of ck
+    # columns, so every intermediate is a handful of vregs instead of a
+    # (TILE, C) VMEM round-trip per op
+    BIG = 3.0e38
+    C = cmin_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        for s, dst in ((cmin_hbm, cmin_ref), (cmax_hbm, cmax_ref)):
+            cp = pltpu.make_async_copy(s, dst, sem)
+            cp.start()
+            cp.wait()
+
+    for s in range(SUB):
+        rs = slice(s * TILE, (s + 1) * TILE)
+        tmin = tmin_ref[rs]
+        tmax = tmax_ref[rs]
+        invs, os_ = [], []
+        for a in range(3):
+            da = d_ref[rs, a:a + 1]
+            tiny = 1e-12
+            invs.append(1.0 / jnp.where(jnp.abs(da) < tiny,
+                                        jnp.where(da >= 0.0, tiny, -tiny),
+                                        da))
+            os_.append(o_ref[rs, a:a + 1])
+        best = jnp.full((TILE, 1), BIG)
+        for c0 in range(0, C, ck):
+            cs = slice(c0, c0 + ck)
+            tn = jnp.full((TILE, ck), -BIG)
+            tf = jnp.full((TILE, ck), BIG)
+            for a in range(3):
+                t0 = (cmin_ref[a:a + 1, cs] - os_[a]) * invs[a]
+                t1 = (cmax_ref[a:a + 1, cs] - os_[a]) * invs[a]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            hit = (tn <= tf) & (tf > tmin) & (tn < tmax)
+            te = jnp.where(hit, jnp.maximum(tn, tmin), BIG)
+            te_scr[:, cs] = te
+            best = jnp.minimum(best, jnp.min(te, axis=1, keepdims=True))
+        out[rs] = best
+
+
+def run_chunk(o, d, tmin, tmax, cmin, cmax, ck):
+    n = o.shape[0]
+    blk = TILE * SUB
+    C = cmin.shape[1]
+    ray2 = lambda w: pl.BlockSpec((blk, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kern_chunk, ck=ck),
+        grid=(n // blk,),
+        in_specs=[ray2(3), ray2(3), ray2(1), ray2(1),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=ray2(1),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, C), jnp.float32),
+                        pltpu.VMEM(cmin.shape, jnp.float32),
+                        pltpu.VMEM(cmax.shape, jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(o, d, tmin[:, None], tmax[:, None], cmin, cmax)
+
+
 def run_cur(o, d, tmin, tmax, cmin, cmax):
     n = o.shape[0]
     blk = TILE * SUB
@@ -245,6 +312,19 @@ def main():
     t_cur, o_cur = timeit(run_cur, o, d, tmin, tmax,
                           jnp.asarray(cmin.T), jnp.asarray(cmax.T))
     print(f"cur: {t_cur*1e3:8.3f} ms", flush=True)
+
+    # chunked variants need C % ck == 0: pad with never-hit boxes
+    Cp = -(-C // 256) * 256
+    cminp = np.full((Cp, 3), 3.0e38, np.float32)
+    cmaxp = np.full((Cp, 3), 3.0e38, np.float32)
+    cminp[:C], cmaxp[:C] = cmin, cmax
+    for ck in (128, 256):
+        f_ck = functools.partial(run_chunk, ck=ck)
+        t_ck, o_ck = timeit(f_ck, o, d, tmin, tmax,
+                            jnp.asarray(cminp.T), jnp.asarray(cmaxp.T))
+        agree = np.allclose(np.asarray(o_cur), np.asarray(o_ck),
+                            rtol=1e-5, atol=1e-3)
+        print(f"ck{ck}: {t_ck*1e3:8.3f} ms  agree={agree}", flush=True)
     t_mxu, o_mxu = timeit(run_mxu, o, d, tmin, tmax, jnp.asarray(tbl))
     agree = np.allclose(np.asarray(o_cur), np.asarray(o_mxu),
                         rtol=1e-5, atol=1e-3)

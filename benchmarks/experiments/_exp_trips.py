@@ -1,4 +1,5 @@
 """Instrumented copy of the traversal kernel: outputs per-tile trip counts."""
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import functools, time
 import numpy as np, jax, jax.numpy as jnp
 from jax import lax
