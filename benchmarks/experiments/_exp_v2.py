@@ -32,10 +32,14 @@ KTRIPS = 12
 def _kern(*refs, C, leaf, tile, slab, trip, refresh=8):
     BIG = 3.0e38
     nt = (2 if slab == "vpu" else 1) + (4 if trip == "mt" else 2)
-    o_ref, d_ref, tmin_ref, tmax_ref = refs[0:4]
-    tab_hbm = refs[4:4 + nt]
-    bt_out, bp_out, te_scr, score_scr = refs[4 + nt:8 + nt]
-    tab_ref = refs[8 + nt:8 + nt + nt]
+    # per-ray feature blocks (feat8 slab-mxu; feat6/featd/feato plu) are
+    # precomputed in XLA: Mosaic cannot yet concat/transposed-build
+    # (tile, k) feature matrices from (tile, 1) columns in-kernel
+    (o_ref, d_ref, tmin_ref, tmax_ref, f8_ref, f6_ref, fd_ref,
+     fo_ref) = refs[0:8]
+    tab_hbm = refs[8:8 + nt]
+    bt_out, bp_out, te_scr, score_scr = refs[8 + nt:12 + nt]
+    tab_ref = refs[12 + nt:12 + nt + nt]
     sem = refs[-1]
     if slab == "vpu":
         cmin_ref, cmax_ref = tab_ref[0:2]
@@ -66,26 +70,22 @@ def _kern(*refs, C, leaf, tile, slab, trip, refresh=8):
         tmin = tmin_ref[rs]
         tmax = tmax_ref[rs]
         tiny = 1e-12
-        d3 = d_ref[rs, :]
-        o3 = o_ref[rs, :]
-        inv3 = 1.0 / jnp.where(jnp.abs(d3) < tiny,
-                               jnp.where(d3 >= 0.0, tiny, -tiny), d3)
 
         # ---- slab -> te_scr ----
         if slab == "vpu":
             tn = jnp.full((tile, C), -BIG)
             tf = jnp.full((tile, C), BIG)
             for a in range(3):
-                t0 = (cmin_ref[a:a + 1, :] - o3[:, a:a + 1]) * inv3[:, a:a + 1]
-                t1 = (cmax_ref[a:a + 1, :] - o3[:, a:a + 1]) * inv3[:, a:a + 1]
+                da = d_ref[rs, a:a + 1]
+                inv = 1.0 / jnp.where(jnp.abs(da) < tiny,
+                                      jnp.where(da >= 0.0, tiny, -tiny), da)
+                t0 = (cmin_ref[a:a + 1, :] - o_ref[rs, a:a + 1]) * inv
+                t1 = (cmax_ref[a:a + 1, :] - o_ref[rs, a:a + 1]) * inv
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         else:
-            feat = jnp.concatenate(
-                [inv3, -o3 * inv3, jnp.zeros((tile, 2), jnp.float32)],
-                axis=1)                                     # (tile,8)
             ts = lax.dot_general(
-                feat, stbl_ref[:, :],
+                f8_ref[rs, :], stbl_ref[:, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGHEST)            # (tile,6C)
@@ -107,14 +107,6 @@ def _kern(*refs, C, leaf, tile, slab, trip, refresh=8):
         score_scr[:] = jnp.full((1, C), 0.0)
         fresh()
 
-        if trip == "plu":
-            m3 = jnp.cross(o3, d3)
-            feat6 = jnp.concatenate([d3, m3], axis=1)       # (tile,6)
-            featd = jnp.concatenate(
-                [d3, jnp.zeros((tile, 1), jnp.float32)], axis=1)
-            feato = jnp.concatenate(
-                [-o3, jnp.ones((tile, 1), jnp.float32)], axis=1)
-
         def body(k, _):
             row = score_scr[:]
             c = jnp.argmin(row[0]).astype(jnp.int32)
@@ -126,8 +118,8 @@ def _kern(*refs, C, leaf, tile, slab, trip, refresh=8):
                 e1x, e1y, e1z = (e1_ref[a:a + 1, sl] for a in range(3))
                 e2x, e2y, e2z = (e2_ref[a:a + 1, sl] for a in range(3))
                 msk = mask_ref[0:1, sl]
-                ox, oy, oz = (o3[:, a:a + 1] for a in range(3))
-                dx, dy, dz = (d3[:, a:a + 1] for a in range(3))
+                ox, oy, oz = (o_ref[rs, a:a + 1] for a in range(3))
+                dx, dy, dz = (d_ref[rs, a:a + 1] for a in range(3))
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -147,7 +139,7 @@ def _kern(*refs, C, leaf, tile, slab, trip, refresh=8):
                 sl3 = pl.ds(pl.multiple_of(c * 3 * leaf, 128), 3 * leaf)
                 sl1 = pl.ds(pl.multiple_of(c * leaf, 128), leaf)
                 w = lax.dot_general(
-                    feat6, plu_ref[:, sl3],
+                    f6_ref[rs, :], plu_ref[:, sl3],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST)        # (tile,3L)
@@ -158,11 +150,13 @@ def _kern(*refs, C, leaf, tile, slab, trip, refresh=8):
                         | ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)))
                 nd = ndv_ref[:, sl1]                        # (4,L)
                 den = lax.dot_general(
-                    featd, nd, dimension_numbers=(((1,), (0,)), ((), ())),
+                    fd_ref[rs, :], nd,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST)        # (tile,L)
                 num = lax.dot_general(
-                    feato, nd, dimension_numbers=(((1,), (0,)), ((), ())),
+                    fo_ref[rs, :], nd,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST)
                 ok = same & (jnp.abs(den) > 1e-12)
@@ -183,12 +177,29 @@ def _kern(*refs, C, leaf, tile, slab, trip, refresh=8):
         lax.fori_loop(0, KTRIPS, body, 0)
 
 
+def ray_feats(o, d):
+    """Per-ray feature blocks, built in XLA: f8 slab features
+    [inv, -o*inv, 0, 0]; f6 Pluecker [d, o x d]; fd [d, 0]; fo [-o, 1]."""
+    n = o.shape[0]
+    tiny = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                          jnp.where(d >= 0.0, tiny, -tiny), d)
+    z = jnp.zeros((n, 1), jnp.float32)
+    one = jnp.ones((n, 1), jnp.float32)
+    f8 = jnp.concatenate([inv, -o * inv, z, z], axis=1)
+    f6 = jnp.concatenate([d, jnp.cross(o, d)], axis=1)
+    fd = jnp.concatenate([d, z], axis=1)
+    fo = jnp.concatenate([-o, one], axis=1)
+    return f8, f6, fd, fo
+
+
 @functools.partial(jax.jit,
                    static_argnames=("leaf", "tile", "slab", "trip"))
 def probe2(o, d, tmin, tmax, tabs, *, leaf, tile, slab, trip):
     n = o.shape[0]
     C = (tabs[0].shape[1] if slab == "vpu"
          else tabs[0].shape[1] // 6)
+    f8, f6, fd, fo = ray_feats(o, d)
     ray2 = lambda w: pl.BlockSpec((BLK, w), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -197,7 +208,8 @@ def probe2(o, d, tmin, tmax, tabs, *, leaf, tile, slab, trip):
         functools.partial(_kern, C=C, leaf=leaf, tile=tile, slab=slab,
                           trip=trip),
         grid=(n // BLK,),
-        in_specs=[ray2(3), ray2(3), ray2(1), ray2(1)]
+        in_specs=[ray2(3), ray2(3), ray2(1), ray2(1),
+                  ray2(8), ray2(6), ray2(4), ray2(4)]
                  + [hbm()] * len(tabs),
         out_specs=[ray2(1), ray2(1)],
         out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -207,8 +219,9 @@ def probe2(o, d, tmin, tmax, tabs, *, leaf, tile, slab, trip):
                        + [vmem(t) for t in tabs]
                        + [pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(o, d, tmin[:, None], tmax[:, None], *tabs)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(o, d, tmin[:, None], tmax[:, None], f8, f6, fd, fo, *tabs)
 
 
 def pack_tables(scene):

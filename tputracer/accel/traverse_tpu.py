@@ -29,6 +29,33 @@ Everything is statically shaped; the only dynamic addressing is a
 lowers well.  Correctness oracle: accel.clustered (XLA) and brute force;
 ``interpret=True`` runs the same kernel on CPU for CI (SURVEY.md §5
 "sanitizers").
+
+Round-3 cost decomposition (measured with CHAINED in-jit calls — single
+dispatches are swamped by ~25 ms of axon tunnel latency; see
+benchmarks/experiments/_exp_pertrip2.py):
+  * slab pass: 2.55 us per live 64-ray subtile at C=936 — VPU roofline
+    for the ~36-op (64,C) chain (measured identical for broadcast-,
+    chunked-, MXU- and transposed-layout formulations: _exp_slab.py,
+    _exp_vpu.py);
+  * per cluster visit (pick + dense MT): ~0.26-0.33 us — also roofline
+    for ~60 VPU ops on (64,128); MXU Pluecker/plane variants and
+    leaf=256 measured SLOWER (_exp_v2.py);
+  * trips per live subtile: coherent camera tiles mean 5.8 (p50=2),
+    incoherent bounce tiles ~21 (_exp_trips.py) — the union walk's
+    utilization floor (~6 of 64 lanes want each visited cluster).
+Attempted and rejected with measurements:
+  * lazy per-page slab (page prefilter + pl.when-guarded 128-cluster
+    chunks): 9.6 -> 8.0 M rays/s — per-page scalar reduce + branch
+    overhead exceeds the saved slab work;
+  * bin-packing small SAH leaves into full 128-slots: occupancy 69->91%
+    and C 936->704, but fat union boxes DOUBLED incoherent trips
+    (9.6 -> 6.6 M rays/s);
+  * per-bounce coherence sort (cfg.sort_rays): a wash (9.57 vs 9.64M)
+    even with the dead-subtile skip — sorted-by-(cell, octant) unions
+    stay far from camera-coherent.
+The kernel is compute-bound at the VPU on both of its halves; further
+gains need either narrower arithmetic with conservative widening (bf16
+slab) or a different lane-utilization scheme for incoherent rays.
 """
 
 from __future__ import annotations
@@ -242,8 +269,10 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
     hbm = lambda a: pl.BlockSpec(memory_space=pl.ANY)
     vmem = lambda a: pltpu.VMEM(a.shape, a.dtype)
     C = cmin.shape[1]
-    # shadow rays terminate on ANY hit, so prune stale scores sooner
-    refresh = 4 if any_hit else 8
+    # stale scores only ADD visits; refresh=4 measured best for closest
+    # hits too (round 3 _exp_trips: incoherent trips 20.9 @4 vs 23.4 @8,
+    # fresh_score costs ~0.19us per refresh — net win)
+    refresh = 4
     bt, bp = pl.pallas_call(
         functools.partial(_traverse_kernel, leaf=leaf, any_hit=any_hit,
                           refresh=refresh),
