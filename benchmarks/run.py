@@ -158,17 +158,22 @@ def bench_inverse(quick):
     opt_state = opt.init(params)
     sc = scene.replace(**params)
 
-    from tputracer.dist import fit_step_opt_sharded
+    from tputracer.dist import fit_chain_sharded
 
-    def step():
-        # the fused one-dispatch step (render+bwd+psum+adam+project)
-        return fit_step_opt_sharded(sc, params, target, cfg, mesh, opt,
-                                    opt_state)
+    K = 8   # optimization steps per dispatch: a single step is tunnel-
+            # latency-bound (~25 ms/dispatch vs <1 ms of backward device
+            # time — benchmarks/experiments/_exp_bwd.py); production
+            # optimizer loops chain steps in one program
 
-    dt = _timed(step, reps=3)
+    def steps():
+        return fit_chain_sharded(sc, params, target, cfg, mesh, opt,
+                                 opt_state, K)
+
+    dt = _timed(steps, reps=3)
     paths = size * size * cfg.spp
-    rays = paths * (cfg.max_bounces + 1 + cfg.max_bounces)
-    return {"steps_per_s": round(1.0 / dt, 3),
+    rays = K * paths * (cfg.max_bounces + 1 + cfg.max_bounces)
+    return {"steps_per_s": round(K / dt, 3),
+            "steps_per_dispatch": K,
             "fwd_bwd_rays_per_s": round(rays / dt),
             "n_devices": len(jax.devices())}
 

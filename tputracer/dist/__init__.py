@@ -1,4 +1,5 @@
 from tputracer.dist.mesh import (  # noqa: F401
+    fit_chain_sharded,
     fit_step_opt_sharded,
     fit_step_sharded,
     make_mesh,

@@ -214,3 +214,39 @@ def fit_step_opt_sharded(scene, params, target, cfg, mesh, opt, opt_state):
     """
     return _fit_step_opt_jit(scene, params, target, cfg, mesh, opt,
                              opt_state)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 7))
+def _fit_chain_jit(scene, params, target, cfg, mesh, opt, opt_state,
+                   n_steps):
+    import optax
+
+    from tputracer.fit import _project
+
+    losses = []
+    for _ in range(n_steps):
+        sc = scene.replace(**params)
+        loss, grads = _fit_step_jit(sc, params, target, cfg, mesh)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = _project(optax.apply_updates(params, updates))
+        losses.append(loss)
+    return jnp.stack(losses), params, opt_state
+
+
+def fit_chain_sharded(scene, params, target, cfg, mesh, opt, opt_state,
+                      n_steps):
+    """n_steps fused optimization steps in ONE jit dispatch.
+
+    The round-3 backward bisect (benchmarks/experiments/_exp_bwd.py)
+    showed a single fit step is LATENCY-bound on the axon tunnel: the
+    forward render, forward+loss, and full value_and_grad all time at
+    ~25 ms per dispatch — the host round trip — while the backward
+    itself adds <1 ms of device time.  Chaining K steps in one program
+    amortizes the round trip K-fold, which is also the right production
+    shape: an optimizer loop has no reason to return to the host every
+    step.  The step body is unrolled (static n_steps): lax.scan with
+    large carried render state miscompiles on the axon backend.
+    Returns (losses (n_steps,), params, opt_state).
+    """
+    return _fit_chain_jit(scene, params, target, cfg, mesh, opt,
+                          opt_state, n_steps)

@@ -90,6 +90,7 @@ def fit(
     log_every=10,
     log_file=None,
     tensorboard_dir=None,
+    steps_per_dispatch=1,
 ):
     """Gradient-descend scene parameters toward a target image.
 
@@ -113,7 +114,7 @@ def fit(
             checkpoint_path, params, opt_state)
 
     if mesh is not None:
-        from tputracer.dist import fit_step_opt_sharded
+        from tputracer.dist import fit_chain_sharded, fit_step_opt_sharded
 
     history = []
     logf = open(log_file, "a") if log_file else None
@@ -124,32 +125,50 @@ def fit(
         tb = SummaryWriter(tensorboard_dir)
     import time as _time
     t_last = _time.perf_counter()
-    for step in range(start, steps):
+    step = start
+    while step < steps:
         sc = scene.replace(**params)
-        if mesh is not None:
-            # fused single-dispatch step: render+bwd+psum+update+project
+        # chain up to steps_per_dispatch steps in ONE program: a single
+        # step is dispatch-latency-bound on the axon tunnel (~25 ms
+        # round trip vs ~ms of device time; dist.mesh.fit_chain_sharded)
+        k = max(1, min(steps_per_dispatch, steps - step))
+        if checkpoint_path and checkpoint_every:
+            nxt = (step // checkpoint_every + 1) * checkpoint_every
+            k = min(k, nxt - step)
+        if mesh is not None and k > 1:
+            losses, params, opt_state = fit_chain_sharded(
+                sc, params, target, cfg, mesh, opt, opt_state, k)
+            losses = [float(x) for x in losses]
+        elif mesh is not None:
             loss, params, opt_state = fit_step_opt_sharded(
                 sc, params, target, cfg, mesh, opt, opt_state)
+            losses = [float(loss)]
         else:
             loss, params, opt_state = _fit_step_single(
                 scene, params, target, cfg, opt, opt_state)
-        rec = {"step": step, "loss": float(loss)}
-        history.append(rec)
-        if logf:
-            logf.write(json.dumps(rec) + "\n")
+            losses = [float(loss)]
+        for i, lv in enumerate(losses):
+            rec = {"step": step + i, "loss": lv}
+            history.append(rec)
+            if logf:
+                logf.write(json.dumps(rec) + "\n")
+            if log_every and (step + i) % log_every == 0:
+                print(f"fit step {step + i}: loss {lv:.6f}")
         if tb:
             now = _time.perf_counter()
-            tb.add_scalar("fit/loss", rec["loss"], step)
-            tb.add_scalar("fit/step_seconds", now - t_last, step)
+            for i, lv in enumerate(losses):
+                tb.add_scalar("fit/loss", lv, step + i)
+            tb.add_scalar("fit/step_seconds", (now - t_last) / len(losses),
+                          step + len(losses) - 1)
             t_last = now
-            for k, v in params.items():
-                tb.add_scalar(f"fit/{k}_mean_abs",
-                              float(jnp.mean(jnp.abs(v))), step)
-        if log_every and step % log_every == 0:
-            print(f"fit step {step}: loss {rec['loss']:.6f}")
+            for kk, v in params.items():
+                tb.add_scalar(f"fit/{kk}_mean_abs",
+                              float(jnp.mean(jnp.abs(v))),
+                              step + len(losses) - 1)
+        step += len(losses)
         if checkpoint_path and checkpoint_every and (
-                (step + 1) % checkpoint_every == 0 or step + 1 == steps):
-            save_checkpoint(checkpoint_path, step + 1, params, opt_state)
+                step % checkpoint_every == 0 or step == steps):
+            save_checkpoint(checkpoint_path, step, params, opt_state)
     if logf:
         logf.close()
     if tb:
