@@ -61,13 +61,17 @@ def main():
         def f(scene, params):
             def loss(p):
                 sc = scene.replace(**p)
-                if remat:
+                if remat == "chunk":
                     n_total = cfg.width * cfg.height * cfg.spp
                     uids = jnp.arange(n_total, dtype=jnp.uint32)
                     body = jax.checkpoint(
                         lambda sc_, u: trace_chunked(sc_, u, cfg)[0])
                     L = body(sc, uids)
                     img = film_from_radiance(L, cfg)
+                elif remat == "bounce":
+                    # per-bounce jax.checkpoint (cfg.remat): backward
+                    # stores only the carry at bounce boundaries
+                    img, _ = render_pt(sc, cfg.with_(remat=True))
                 else:
                     img, _ = render_pt(sc, cfg)
                 return jnp.mean((img - target) ** 2)
@@ -82,7 +86,8 @@ def main():
     for name, keys, remat in (
             ("vag:albedo", ("mat_albedo",), False),
             ("vag:both", ("mat_albedo", "mat_emission"), False),
-            ("vag:remat", ("mat_albedo", "mat_emission"), True)):
+            ("vag:remat", ("mat_albedo", "mat_emission"), "chunk"),
+            ("vag:rematB", ("mat_albedo", "mat_emission"), "bounce")):
         f, params = make_vag(keys, remat)
         t = timeit(f, scene, params)
         print(f"{name:14s} {t*1e3:8.2f} ms", flush=True)

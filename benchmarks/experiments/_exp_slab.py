@@ -138,6 +138,68 @@ def _kern_tr(o_ref, d_ref, tmin_ref, tmax_ref, cmin_hbm, cmax_hbm,
         out[0:1, rs] = jnp.min(te_scr[:], axis=0, keepdims=True)
 
 
+def _kern_bf16(o_ref, d_ref, tmin_ref, tmax_ref, cmin_hbm, cmax_hbm,
+               out, te_scr, cmin_ref, cmax_ref, sem):
+    # same math as _kern_cur but the (TILE,C) chain runs in bfloat16 —
+    # probes whether Mosaic packs bf16 VPU elementwise 2-per-lane.  The
+    # production version would need conservative widening (shrink tn,
+    # grow tf by one bf16 ulp) to stay exact; timing is what matters here.
+    BIG = 3.0e38
+    C = cmin_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        for s, dst in ((cmin_hbm, cmin_ref), (cmax_hbm, cmax_ref)):
+            cp = pltpu.make_async_copy(s, dst, sem)
+            cp.start()
+            cp.wait()
+
+    for s in range(SUB):
+        rs = slice(s * TILE, (s + 1) * TILE)
+        tmin = tmin_ref[rs]
+        tmax = tmax_ref[rs]
+        tn = jnp.full((TILE, C), jnp.bfloat16(-BIG), jnp.bfloat16)
+        tf = jnp.full((TILE, C), jnp.bfloat16(BIG), jnp.bfloat16)
+        for a in range(3):
+            da = d_ref[rs, a:a + 1]
+            tiny = 1e-12
+            inv = (1.0 / jnp.where(jnp.abs(da) < tiny,
+                                   jnp.where(da >= 0.0, tiny, -tiny),
+                                   da)).astype(jnp.bfloat16)
+            ob = o_ref[rs, a:a + 1].astype(jnp.bfloat16)
+            t0 = (cmin_ref[a:a + 1, :] - ob) * inv
+            t1 = (cmax_ref[a:a + 1, :] - ob) * inv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        tn32 = tn.astype(jnp.float32)
+        hit = (tn <= tf) & (tf.astype(jnp.float32) > tmin) & (tn32 < tmax)
+        te_scr[:] = jnp.where(hit, jnp.maximum(tn32, tmin), BIG)
+        out[rs] = jnp.min(te_scr[:], axis=1, keepdims=True)
+
+
+def run_bf16(o, d, tmin, tmax, cmin, cmax):
+    n = o.shape[0]
+    blk = TILE * SUB
+    C = cmin.shape[1]
+    ray2 = lambda w: pl.BlockSpec((blk, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kern_bf16,
+        grid=(n // blk,),
+        in_specs=[ray2(3), ray2(3), ray2(1), ray2(1),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=ray2(1),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, C), jnp.float32),
+                        pltpu.VMEM(cmin.shape, jnp.bfloat16),
+                        pltpu.VMEM(cmax.shape, jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(o, d, tmin[:, None], tmax[:, None], cmin, cmax)
+
+
 def _kern_chunk(o_ref, d_ref, tmin_ref, tmax_ref, cmin_hbm, cmax_hbm,
                 out, te_scr, cmin_ref, cmax_ref, sem, *, ck):
     # identical math to _kern_cur but looped over cluster chunks of ck
@@ -325,6 +387,12 @@ def main():
         agree = np.allclose(np.asarray(o_cur), np.asarray(o_ck),
                             rtol=1e-5, atol=1e-3)
         print(f"ck{ck}: {t_ck*1e3:8.3f} ms  agree={agree}", flush=True)
+    t_bf, o_bf = timeit(run_bf16, o, d, tmin, tmax,
+                        jnp.asarray(cmin.T, jnp.bfloat16),
+                        jnp.asarray(cmax.T, jnp.bfloat16))
+    close = np.mean(np.abs(np.asarray(o_bf) - np.asarray(o_cur))
+                    < 0.05 * np.abs(np.asarray(o_cur)) + 0.1)
+    print(f"bf16:{t_bf*1e3:8.3f} ms  ~agree={close:.3f}", flush=True)
     t_mxu, o_mxu = timeit(run_mxu, o, d, tmin, tmax, jnp.asarray(tbl))
     agree = np.allclose(np.asarray(o_cur), np.asarray(o_mxu),
                         rtol=1e-5, atol=1e-3)

@@ -158,3 +158,25 @@ def test_fit_checkpoint_resume_reproduces_trajectory(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(p_full["mat_albedo"]), np.asarray(p_res["mat_albedo"]))
     assert h_res[0]["step"] == 5
+
+def test_remat_bitwise_primal_and_matching_grads():
+    """cfg.remat=True must be a pure scheduling change: the per-bounce
+    jax.checkpoint path shares the exact step function with the default
+    path, so the primal is BITWISE identical and gradients agree to
+    float32 tolerance (backward order differs, so not bitwise)."""
+    scene = cornell_box("spheres")   # exercises glass + mirror lobes too
+    img0, _ = jax.jit(lambda s: render_pt(s, CFG))(scene)
+    img1, _ = jax.jit(lambda s: render_pt(s, CFG.with_(remat=True)))(scene)
+    assert bool(jnp.all(img0 == img1))
+
+    def loss(p, cfg):
+        img, _ = render_pt(scene.replace(**p), cfg)
+        return jnp.mean(img ** 2)
+
+    params = {"mat_albedo": jnp.clip(scene.mat_albedo, 0.05, 0.95),
+              "mat_emission": scene.mat_emission}
+    g0 = jax.grad(loss)(params, CFG)
+    g1 = jax.grad(loss)(params, CFG.with_(remat=True))
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-7)

@@ -61,6 +61,7 @@ slab) or a different lane-utilization scheme for incoherent rays.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,17 +73,25 @@ from tputracer.accel.bruteforce import finalize_hit
 from tputracer.accel.clustered import _detach, _sphere_best
 
 _BIG = jnp.float32(3.0e38)
-TILE = 64   # rays per traversal subtile.  Measured on the 82k-tri mesh
-            # config (256^2x4spp, 8 bounces): 64 -> 4.67M rays/s vs
-            # 128 -> 4.03M, 256 -> 2.76M, 32 -> 4.49M.  Small tiles
-            # shrink the UNION of clusters the tile must visit
-            # (incoherent bounce rays), which outweighs the extra
-            # scalar-loop iterations per ray.
-SUB = 16    # subtiles per grid step.  The axon backend charges ~1.3 us
-            # of step machinery per grid step (measured: an all-dead
-            # 65536-ray call costs 1.38 ms at one 64-ray tile per step —
-            # pure overhead); batching 16 subtiles per step amortizes it
-            # 16x while keeping the 64-ray union granularity.
+# Rays per traversal subtile / subtiles per grid step.  Env-overridable
+# for tuning experiments (TPUTRACER_TILE / TPUTRACER_SUB).
+# TILE history: round-1 measured 64 -> 4.67M rays/s vs 128 -> 4.03M,
+# 256 -> 2.76M, 32 -> 4.49M on the 82k-tri mesh config — but that
+# predates SUB batching, the cached score row and the dead-subtile skip,
+# all of which shrink the per-subtile fixed cost that penalised small
+# tiles.  Small tiles shrink the UNION of clusters the tile must visit
+# (incoherent bounce rays mean ~21 trips at TILE=64) AND halve the
+# per-trip dense-MT cost, so TILE=32 is worth re-measuring whenever the
+# trip economics change.  Round-3 re-measurement WITH score row + SUB +
+# dead-subtile skip: TILE=32/SUB=32 -> 9.08M rays/s vs TILE=64's 9.83M
+# (-8%): the incoherent union shrinks sublinearly (~21 -> ~15, not 10.5)
+# while the slab pass runs twice per 64 rays.  TILE=64 stays.
+# SUB: the axon backend charges ~1.3 us of step machinery per grid step
+# (measured: an all-dead 65536-ray call costs 1.38 ms at one 64-ray tile
+# per step — pure overhead); batching SUB subtiles per step amortizes it
+# while keeping the TILE-ray union granularity.
+TILE = int(os.environ.get("TPUTRACER_TILE", "64"))
+SUB = int(os.environ.get("TPUTRACER_SUB", "16"))
 
 
 def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,

@@ -23,6 +23,14 @@ class RenderConfig:
                                   # MIS between NEE and BSDF sampling
     chunk_size: int = 1 << 20     # wavefront paths per chunk (memory knob)
     transport_radiance: bool = True
+    remat: bool = False           # jax.checkpoint each bounce: backward
+                                  # stores only the per-bounce carry
+                                  # (o,d,thr,L,masks ~ 13 floats/path)
+                                  # and recomputes bounce internals —
+                                  # trades forward FLOPs for backward
+                                  # HBM traffic in inverse rendering.
+                                  # Primal math is identical (same step
+                                  # function either way).
     sort_rays: bool = False       # M5: re-sort the wavefront by (alive,
                                   # direction octant, origin cell) each
                                   # bounce. Measured on the mesh config

@@ -24,6 +24,8 @@ tests instead of loose statistical ones.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -78,6 +80,120 @@ def _coherence_key(scene, o, d, alive):
     return jnp.where(alive, key, 1 << 14)
 
 
+def _bounce_step(scene, decision_scene, uid, carry, *, b, cfg, isect, occl):
+    """One wavefront bounce: intersect, emission, NEE, BSDF sample, RR.
+
+    carry = (o, d, L, thr, alive, prev_delta, prev_pdf); returns
+    (carry', (rays_issued, n_active, rays_shadow)) with rays_shadow None
+    on the terminal bounce (no continuation).  Factored out of
+    trace_radiance so cfg.remat can jax.checkpoint each bounce: the
+    backward pass then stores only the ~13-floats/path carry at bounce
+    boundaries and rematerializes bounce internals (hit buffers, MT
+    intermediates) instead of spilling them all to HBM.
+    """
+    o, d, L, thr, alive, prev_delta, prev_pdf = carry
+    n = uid.shape[0]
+    zeros1 = jnp.zeros((n,), jnp.float32)
+    eps = jnp.float32(scene.eps)
+
+    # dead lanes get tmax=0: the traversal's (t_enter < best_t)
+    # admission test can then never pull a cluster in, so an
+    # all-dead tile costs one slab pass and exits — this is what
+    # makes the alive-first wavefront sort an actual compaction
+    # (SURVEY.md §7 M5), not just a reordering
+    issued = jnp.sum(alive.astype(jnp.float32))
+    with jax.named_scope(f"bounce{b}_traverse"):
+        hit = isect(scene, o, d, tmin=zeros1,
+                    tmax=jnp.where(alive, _BIG, 0.0))
+    active = alive & hit.valid
+    n_active = jnp.sum(active.astype(jnp.float32))
+
+    # ---- emission at the hit vertex ----
+    le = emitted(scene, hit.mat, hit.n, d)
+    if cfg.mis and b > 0:
+        pl_area, is_em = pdf_light_area(scene, hit.prim)
+        cos_l = jnp.abs(g.dot(hit.n, d))
+        # missed lanes carry t=_BIG whose square overflows to inf and
+        # NaN-poisons the power-heuristic backward; clamp them out
+        t_safe = jnp.where(hit.valid, hit.t, 1.0)
+        pl_sa = pl_area * t_safe**2 / jnp.maximum(cos_l, 1e-6)
+        w_hit = jnp.where(prev_delta, 1.0, _power2(prev_pdf, pl_sa))
+    else:
+        # NEE-only: emitters counted at b==0 (prev_delta init) or after
+        # a delta bounce — the reference's double-count guard (§3.2)
+        w_hit = prev_delta.astype(jnp.float32)
+    L = L + jnp.where(active[:, None], thr * le * w_hit[:, None], 0.0)
+
+    if b == cfg.max_bounces:
+        return (o, d, L, thr, alive, prev_delta, prev_pdf), \
+            (issued, n_active, None)
+
+    wo = -d
+    ns = g.face_forward(hit.n, wo)
+
+    # ---- next-event estimation (SURVEY.md §3.2 NEE block) ----
+    ul0, ul1, ul2 = rng.uniform3(uid, rng.salt(b, rng.SLOT_LIGHT), cfg.seed)
+    y, n_l, le_l, pdf_a, _, _ = sample_light(scene, ul0, ul1, ul2)
+    to_l = y - hit.p
+    dist2 = jnp.maximum(g.dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi_l = to_l / dist[:, None]
+    cos_p = g.dot(wi_l, ns)
+    cos_l = g.dot(n_l, -wi_l)
+    geom_ok = (cos_p > 0.0) & (cos_l > 1e-6)
+    f = eval_bsdf(scene, hit.mat, hit.n, wo, wi_l)
+    # only trace shadow rays that can contribute: live lane, light
+    # facing, and a lobe that can eval nonzero (delta lobes never do —
+    # their shadow rays were pure waste).  The gate is STRUCTURAL
+    # (material kind), not f>0: a diffuse lane with albedo exactly 0
+    # still traces, so its NEE gradient survives (round-2 advisor).
+    # Masked lanes get tmax=0 so the traversal skips them like dead
+    # lanes above.
+    want = active & geom_ok & nee_nonspecular(scene, hit.mat)
+    n_shadow = jnp.sum(want.astype(jnp.float32))
+    so = hit.p + ns * eps
+    with jax.named_scope(f"bounce{b}_nee_shadow"):
+        occ = occl(scene, so, wi_l,
+                   tmax=jnp.where(want, dist * (1.0 - 1e-3), 0.0))
+    pdf_sa = pdf_a * dist2 / jnp.maximum(cos_l, 1e-6)
+    if cfg.mis:
+        pb = pdf_bsdf(scene, hit.mat, hit.n, wo, wi_l)
+        w_nee = _power2(pdf_sa, pb)
+    else:
+        w_nee = 1.0
+    contrib = thr * f * le_l * (w_nee * cos_p / pdf_sa)[:, None]
+    nee_on = want & jnp.logical_not(occ)
+    L = L + jnp.where(nee_on[:, None], contrib, 0.0)
+
+    # ---- BSDF sampling / continuation ----
+    ub0, ub1, ub2 = rng.uniform3(uid, rng.salt(b, rng.SLOT_BSDF), cfg.seed)
+    wi, wgt, pdf_b, is_delta = sample_bsdf(
+        scene, hit.mat, hit.n, wo, ub0, ub1, ub2,
+        transport_radiance=cfg.transport_radiance,
+        decision_scene=decision_scene,
+    )
+    thr = thr * wgt
+
+    # ---- Russian roulette ----
+    if b >= cfg.rr_start:
+        ur, _, _ = rng.uniform3(uid, rng.salt(b, rng.SLOT_RR), cfg.seed)
+        # q is the probability of a DETACHED discrete decision: detach
+        # it (SURVEY.md §7 hard part 3 — differentiating the 1/q
+        # compensation through q biases the estimator)
+        q = lax.stop_gradient(jnp.clip(jnp.max(thr, axis=-1), 0.05, 0.95))
+        active = active & (ur < q)
+        thr = thr / q[:, None]
+
+    side = jnp.where(g.dot(wi, hit.n) >= 0.0, 1.0, -1.0)
+    o = hit.p + hit.n * (side * eps)[:, None]
+    d = wi
+    prev_delta = is_delta
+    prev_pdf = pdf_b
+    alive = active & (jnp.max(thr, axis=-1) > 0.0)
+    return (o, d, L, thr, alive, prev_delta, prev_pdf), \
+        (issued, n_active, n_shadow)
+
+
 def trace_radiance(scene, uid, cfg, decision_scene=None,
                    intersect_fn=None, occluded_fn=None):
     """Radiance for a chunk of paths. uid: (n,) uint32 -> (L (n,3), stats).
@@ -103,116 +219,41 @@ def trace_radiance(scene, uid, cfg, decision_scene=None,
     do_sort = cfg.sort_rays and scene.n_clusters > 0
     zeros1 = jnp.zeros((n,), jnp.float32)
 
-    L = jnp.zeros((n, 3), jnp.float32)
-    thr = jnp.ones((n, 3), jnp.float32)
-    alive = jnp.ones((n,), bool)
-    prev_delta = jnp.ones((n,), bool)     # b==0 counts as "emission gated on"
-    prev_pdf = zeros1                      # solid-angle pdf of previous bounce
+    carry = (
+        o, d,
+        jnp.zeros((n, 3), jnp.float32),    # L
+        jnp.ones((n, 3), jnp.float32),     # throughput
+        jnp.ones((n,), bool),              # alive
+        jnp.ones((n,), bool),              # prev_delta: b==0 emission gated on
+        zeros1,                            # prev_pdf (solid angle)
+    )
     alive_counts = []
     issued_counts = []                    # closest-hit rays actually traced
     shadow_counts = []                    # shadow rays actually traced
-    eps = jnp.float32(scene.eps)
 
     for b in range(cfg.max_bounces + 1):
-        # dead lanes get tmax=0: the traversal's (t_enter < best_t)
-        # admission test can then never pull a cluster in, so an
-        # all-dead tile costs one slab pass and exits — this is what
-        # makes the alive-first wavefront sort (below) an actual
-        # compaction (SURVEY.md §7 M5), not just a reordering
-        issued_counts.append(jnp.sum(alive.astype(jnp.float32)))
-        with jax.named_scope(f"bounce{b}_traverse"):
-            hit = isect(scene, o, d, tmin=zeros1,
-                        tmax=jnp.where(alive, _BIG, 0.0))
-        active = alive & hit.valid
-        alive_counts.append(jnp.sum(active.astype(jnp.float32)))
-
-        # ---- emission at the hit vertex ----
-        le = emitted(scene, hit.mat, hit.n, d)
-        if cfg.mis and b > 0:
-            pl_area, is_em = pdf_light_area(scene, hit.prim)
-            cos_l = jnp.abs(g.dot(hit.n, d))
-            # missed lanes carry t=_BIG whose square overflows to inf and
-            # NaN-poisons the power-heuristic backward; clamp them out
-            t_safe = jnp.where(hit.valid, hit.t, 1.0)
-            pl_sa = pl_area * t_safe**2 / jnp.maximum(cos_l, 1e-6)
-            w_hit = jnp.where(prev_delta, 1.0, _power2(prev_pdf, pl_sa))
-        else:
-            # NEE-only: emitters counted at b==0 (prev_delta init) or after
-            # a delta bounce — the reference's double-count guard (§3.2)
-            w_hit = prev_delta.astype(jnp.float32)
-        L = L + jnp.where(active[:, None], thr * le * w_hit[:, None], 0.0)
-
-        if b == cfg.max_bounces:
-            break
-
-        wo = -d
-        ns = g.face_forward(hit.n, wo)
-
-        # ---- next-event estimation (SURVEY.md §3.2 NEE block) ----
-        ul0, ul1, ul2 = rng.uniform3(uid, rng.salt(b, rng.SLOT_LIGHT), cfg.seed)
-        y, n_l, le_l, pdf_a, _, _ = sample_light(scene, ul0, ul1, ul2)
-        to_l = y - hit.p
-        dist2 = jnp.maximum(g.dot(to_l, to_l), 1e-12)
-        dist = jnp.sqrt(dist2)
-        wi_l = to_l / dist[:, None]
-        cos_p = g.dot(wi_l, ns)
-        cos_l = g.dot(n_l, -wi_l)
-        geom_ok = (cos_p > 0.0) & (cos_l > 1e-6)
-        f = eval_bsdf(scene, hit.mat, hit.n, wo, wi_l)
-        # only trace shadow rays that can contribute: live lane, light
-        # facing, and a lobe that can eval nonzero (delta lobes never do —
-        # their shadow rays were pure waste).  The gate is STRUCTURAL
-        # (material kind), not f>0: a diffuse lane with albedo exactly 0
-        # still traces, so its NEE gradient survives (round-2 advisor).
-        # Masked lanes get tmax=0 so the traversal skips them like dead
-        # lanes above.
-        want = active & geom_ok & nee_nonspecular(scene, hit.mat)
-        shadow_counts.append(jnp.sum(want.astype(jnp.float32)))
-        so = hit.p + ns * eps
-        with jax.named_scope(f"bounce{b}_nee_shadow"):
-            occ = occl(scene, so, wi_l,
-                       tmax=jnp.where(want, dist * (1.0 - 1e-3), 0.0))
-        pdf_sa = pdf_a * dist2 / jnp.maximum(cos_l, 1e-6)
-        if cfg.mis:
-            pb = pdf_bsdf(scene, hit.mat, hit.n, wo, wi_l)
-            w_nee = _power2(pdf_sa, pb)
-        else:
-            w_nee = 1.0
-        contrib = thr * f * le_l * (w_nee * cos_p / pdf_sa)[:, None]
-        nee_on = want & jnp.logical_not(occ)
-        L = L + jnp.where(nee_on[:, None], contrib, 0.0)
-
-        # ---- BSDF sampling / continuation ----
-        ub0, ub1, ub2 = rng.uniform3(uid, rng.salt(b, rng.SLOT_BSDF), cfg.seed)
-        wi, wgt, pdf_b, is_delta = sample_bsdf(
-            scene, hit.mat, hit.n, wo, ub0, ub1, ub2,
-            transport_radiance=cfg.transport_radiance,
-            decision_scene=decision_scene,
-        )
-        thr = thr * wgt
-
-        # ---- Russian roulette ----
-        if b >= cfg.rr_start:
-            ur, _, _ = rng.uniform3(uid, rng.salt(b, rng.SLOT_RR), cfg.seed)
-            # q is the probability of a DETACHED discrete decision: detach
-            # it (SURVEY.md §7 hard part 3 — differentiating the 1/q
-            # compensation through q biases the estimator)
-            q = lax.stop_gradient(jnp.clip(jnp.max(thr, axis=-1), 0.05, 0.95))
-            active = active & (ur < q)
-            thr = thr / q[:, None]
-
-        side = jnp.where(g.dot(wi, hit.n) >= 0.0, 1.0, -1.0)
-        o = hit.p + hit.n * (side * eps)[:, None]
-        d = wi
-        prev_delta = is_delta
-        prev_pdf = pdf_b
-        alive = active & (jnp.max(thr, axis=-1) > 0.0)
+        step = functools.partial(_bounce_step, b=b, cfg=cfg,
+                                 isect=isect, occl=occl)
+        if cfg.remat:
+            # scene/decision_scene/uid are explicit args so the backward
+            # rematerializes from them rather than saving closure residuals
+            step = jax.checkpoint(step)
+        carry, (issued, n_active, n_shadow) = step(
+            scene, decision_scene, uid, carry)
+        issued_counts.append(issued)
+        alive_counts.append(n_active)
+        if n_shadow is not None:
+            shadow_counts.append(n_shadow)
 
         if do_sort and b < cfg.max_bounces - 1:
+            o, d, L, thr, alive, prev_delta, prev_pdf = carry
             perm = jnp.argsort(_coherence_key(scene, o, d, alive))
             uid, prev_pdf = uid[perm], prev_pdf[perm]
             alive, prev_delta = alive[perm], prev_delta[perm]
             o, d, thr, L = o[perm], d[perm], thr[perm], L[perm]
+            carry = (o, d, L, thr, alive, prev_delta, prev_pdf)
+
+    L = carry[2]
 
     if do_sort:
         L = L[jnp.argsort(uid)]  # restore uid order for the film reshape
