@@ -65,3 +65,15 @@ def test_bdpt_render_nan_free(nan_debug):
                      chunk_size=10 * 10 * 2)
     img, _ = render_bdpt(cornell_box("caustic"), cfg)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_no_tracer_leaks():
+    """jax.checking_leaks (SURVEY.md §5 "sanitizers", leak checking):
+    verifies no tracer escapes a jit trace through Python-side state —
+    the render/fit paths accumulate Python lists of per-bounce stats,
+    which is exactly the pattern that leaks when mishandled."""
+    with jax.checking_leaks():
+        img, stats = jax.jit(
+            lambda s: render_pt(s, CFG))(cornell_box("boxes"))
+        jax.block_until_ready(img)
+    assert np.isfinite(np.asarray(img)).all()
