@@ -251,6 +251,17 @@ def main(argv=None):
     rec = {"bench": name, "quick": args.quick,
            "backend": jax.default_backend(),
            "device": str(jax.devices()[0])}
+    # self-documenting records (round-3 advisor): capture any TPUTRACER_*
+    # env overrides plus the traversal tiling actually in effect, so an
+    # experimental-config run can never masquerade as a default run
+    tpuenv = {k: v for k, v in os.environ.items()
+              if k.startswith("TPUTRACER_")}
+    if tpuenv:
+        rec["env"] = tpuenv
+    if name == "mesh":
+        from tputracer.accel import traverse_tpu
+
+        rec["tile"], rec["sub"] = traverse_tpu.TILE, traverse_tpu.SUB
     rec.update(BENCHES[name](args.quick))
     line = json.dumps(rec)
     print(line, flush=True)

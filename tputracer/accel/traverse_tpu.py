@@ -92,6 +92,22 @@ _BIG = jnp.float32(3.0e38)
 # while keeping the TILE-ray union granularity.
 TILE = int(os.environ.get("TPUTRACER_TILE", "64"))
 SUB = int(os.environ.get("TPUTRACER_SUB", "16"))
+# Validate overrides here rather than letting Mosaic fail with an opaque
+# layout error: the lane (last) dim of every (TILE, ...) block must be a
+# multiple of the 8-sublane tile, and SUB must divide the ray block evenly.
+if TILE <= 0 or TILE % 8 != 0:
+    raise ValueError(
+        f"TPUTRACER_TILE={TILE}: must be a positive multiple of 8 "
+        "(TPU sublane tiling)")
+if SUB <= 0:
+    raise ValueError(f"TPUTRACER_SUB={SUB}: must be >= 1")
+if (TILE, SUB) != (64, 16):
+    import warnings
+
+    warnings.warn(
+        f"tputracer: non-default traversal tiling TILE={TILE} SUB={SUB} "
+        "(TPUTRACER_TILE/TPUTRACER_SUB set) — benchmark records will "
+        "not be comparable to default-config runs", stacklevel=2)
 
 
 def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
