@@ -134,7 +134,43 @@ def test_fit_recovers_albedo_and_emission():
     assert history[-1]["loss"] < 0.3 * history[0]["loss"], history[::8]
 
 
+def test_fit_chain_single_matches_stepwise():
+    """K chained single-device steps (one dispatch) must reproduce K
+    individual _fit_step_single dispatches — the chain is the same math
+    unrolled, so out-of-the-box fit() (steps_per_dispatch=8) cannot
+    change trajectories."""
+    import optax
+
+    from tputracer.fit import _fit_chain_single, _fit_step_single
+
+    scene = cornell_box("boxes")
+    cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=2,
+                       rr_start=1, chunk_size=8 * 8 * 2)
+    target, _ = render_pt(scene, cfg)
+    params0 = {"mat_albedo": scene.mat_albedo * 0.5}
+    opt = optax.adam(5e-2)
+
+    p, st = params0, opt.init(params0)
+    step_losses = []
+    for _ in range(4):
+        loss, p, st = _fit_step_single(scene, p, target, cfg, opt, st)
+        step_losses.append(float(loss))
+
+    losses, pc, _ = _fit_chain_single(
+        scene, params0, target, cfg, opt, opt.init(params0), 4)
+
+    np.testing.assert_allclose(np.asarray(losses), step_losses, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pc["mat_albedo"]),
+                               np.asarray(p["mat_albedo"]), rtol=1e-5,
+                               atol=1e-7)
+
+
 def test_fit_checkpoint_resume_reproduces_trajectory(tmp_path):
+    """Resume must be bitwise vs an uninterrupted run with the SAME
+    checkpoint config: chain boundaries snap to the checkpoint_every
+    grid, so both runs compile the identical per-segment programs.
+    (Runs with different chaining agree only to float-fusion tolerance —
+    XLA fuses a K-step program differently from K 1-step programs.)"""
     scene = cornell_box("boxes")
     cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=2,
                        rr_start=1, chunk_size=8 * 8 * 2)
@@ -143,9 +179,11 @@ def test_fit_checkpoint_resume_reproduces_trajectory(tmp_path):
 
     init = {"mat_albedo": scene.mat_albedo * 0.5}
 
-    # uninterrupted run
+    # uninterrupted run, same checkpoint cadence (its own file)
     _, p_full, h_full = fit(scene, target, cfg=cfg, steps=10,
-                            init=init, log_every=0)
+                            init=init, log_every=0,
+                            checkpoint_path=str(tmp_path / "ref.npz"),
+                            checkpoint_every=5)
 
     # interrupted at step 5, resumed from checkpoint
     ck = str(tmp_path / "fit.npz")

@@ -58,6 +58,32 @@ def _fit_step_single(scene, params, target, cfg, opt, opt_state):
     return loss, params, opt_state
 
 
+@partial(jax.jit, static_argnums=(3, 4, 6))
+def _fit_chain_single(scene, params, target, cfg, opt, opt_state, n_steps):
+    """n_steps fused single-device optimization steps in ONE dispatch.
+
+    Same rationale as dist.mesh.fit_chain_sharded: a single fit step is
+    dispatch-latency-bound on the axon tunnel (~25 ms host round trip vs
+    <1 ms of backward device time), and the tunnel tax is identical with
+    or without a mesh — so the out-of-the-box single-device ``fit()``
+    chains steps too.  Unrolled (static n_steps): lax.scan with large
+    carried render state miscompiles on the axon backend.
+    """
+    from tputracer.integrators.pt import render_pt
+
+    losses = []
+    for _ in range(n_steps):
+        def loss_fn(p):
+            img, _ = render_pt(scene.replace(**p), cfg)
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = _project(optax.apply_updates(params, updates))
+        losses.append(loss)
+    return jnp.stack(losses), params, opt_state
+
+
 def save_checkpoint(path, step, params, opt_state):
     """Flat .npz checkpoint: params + optimizer pytree leaves + step."""
     leaves, treedef = jax.tree_util.tree_flatten((params, opt_state))
@@ -90,14 +116,23 @@ def fit(
     log_every=10,
     log_file=None,
     tensorboard_dir=None,
-    steps_per_dispatch=1,
+    steps_per_dispatch=8,
 ):
     """Gradient-descend scene parameters toward a target image.
 
     Returns (fitted_scene, params, history) where history is a list of
     {"step": i, "loss": v} dicts.  Observability (SURVEY.md §5): history
     + optional JSONL (log_file) + optional TensorBoard scalars
-    (tensorboard_dir; loss, step time, per-parameter mean |value|).
+    (tensorboard_dir; loss, step time, steps/s, per-parameter mean |value|).
+
+    steps_per_dispatch chains K optimization steps into one compiled
+    program (single-device and sharded alike) — a single step is
+    dispatch-latency-bound on the axon tunnel, so the chain is ~7x
+    faster end-to-end.  Chain boundaries snap to the checkpoint_every
+    grid, which is what makes checkpoint resume reproduce an
+    uninterrupted same-config run bitwise; runs with *different*
+    chaining agree only to float-fusion tolerance (XLA fuses a K-step
+    program differently from K 1-step programs).
     """
     from tputracer.config import RenderConfig
 
@@ -143,6 +178,10 @@ def fit(
             loss, params, opt_state = fit_step_opt_sharded(
                 sc, params, target, cfg, mesh, opt, opt_state)
             losses = [float(loss)]
+        elif k > 1:
+            losses, params, opt_state = _fit_chain_single(
+                scene, params, target, cfg, opt, opt_state, k)
+            losses = [float(x) for x in losses]
         else:
             loss, params, opt_state = _fit_step_single(
                 scene, params, target, cfg, opt, opt_state)
@@ -159,6 +198,9 @@ def fit(
             for i, lv in enumerate(losses):
                 tb.add_scalar("fit/loss", lv, step + i)
             tb.add_scalar("fit/step_seconds", (now - t_last) / len(losses),
+                          step + len(losses) - 1)
+            tb.add_scalar("fit/steps_per_s",
+                          len(losses) / max(now - t_last, 1e-9),
                           step + len(losses) - 1)
             t_last = now
             for kk, v in params.items():
