@@ -114,6 +114,38 @@ def bench_mesh(quick):
     return out
 
 
+def bench_mesh_tiled(quick):
+    """Round-4: config-3 mesh scene with the GEOMETRY tiled over the
+    device mesh and rays ring-rotated past every shard
+    (dist.scene_shard).  On this 1-chip environment the ring
+    degenerates to one hop, so the row measures the tiled code path
+    (Pallas local traversal per hop + ring carry) rather than scaling;
+    multi-shard correctness is covered by the 8-virtual-device CPU
+    tests (tests/distributed/test_scene_tiling.py)."""
+    import jax
+
+    from tputracer.config import RenderConfig
+    from tputracer.dist import make_mesh
+    from tputracer.dist.scene_shard import render_tiled
+    from tputracer.scene import mesh_scene
+
+    scene = mesh_scene(subdiv=4 if quick else 6)
+    size = 64 if quick else 256
+    cfg = RenderConfig(width=size, height=size, spp=4, max_bounces=8,
+                       rr_start=3, chunk_size=1 << 16)
+    mesh = make_mesh((len(jax.devices()),), ("dp",))
+    dt = _timed(lambda: render_tiled(scene, cfg, mesh)[0], reps=3)
+    _, stats = render_tiled(scene, cfg, mesh)
+    paths = size * size * cfg.spp
+    rays = paths * (cfg.max_bounces + 1 + cfg.max_bounces)
+    issued = _issued(stats)
+    return {"rays_per_s": round(rays / dt), "render_s": round(dt, 4),
+            "rays_issued": issued,
+            "issued_rays_per_s": round(issued / dt),
+            "n_tris": scene.n_tris, "n_clusters": scene.n_clusters,
+            "n_shards": len(jax.devices())}
+
+
 def bench_bdpt_caustic(quick):
     """Config 4: BDPT with vertex connection + MIS on the caustics scene."""
     from tputracer.api import render_bdpt
@@ -182,6 +214,7 @@ BENCHES = {
     "pt_cornell": bench_pt_cornell,
     "cornell_glass": bench_cornell_glass,
     "mesh": bench_mesh,
+    "mesh_tiled": bench_mesh_tiled,
     "bdpt_caustic": bench_bdpt_caustic,
     "inverse": bench_inverse,
 }

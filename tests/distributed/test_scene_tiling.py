@@ -65,3 +65,50 @@ def test_tiled_render_rejects_sphere_scenes():
     scene = cornell_box("spheres")
     with pytest.raises((NotImplementedError, ValueError)):
         pad_scene_clusters(scene, 8)
+
+
+def test_tiled_render_2axis_mesh(scene):
+    """Round-4: the ring generalizes to multi-axis meshes (tuple axis
+    ppermute over the linearized (host, chip) ring) — the same mesh
+    shape dryrun_multichip uses."""
+    ref, _ = render(scene, CFG)
+    mesh = make_mesh((2, 4), ("host", "chip"))
+    img, _ = render_tiled(scene, CFG, mesh)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_tiled_fit_step_matches_replicated(scene):
+    """Round-4: tiled inverse rendering — loss/grads through the ring
+    traversal must match the replicated DP fit step (identical hits,
+    identical RNG, same shading math)."""
+    from tputracer.dist import fit_step_sharded
+    from tputracer.dist.scene_shard import fit_step_tiled
+
+    target, _ = render(scene, CFG)
+    target = jnp.asarray(np.asarray(target))
+    params = {"mat_albedo": scene.mat_albedo * 0.6,
+              "mat_emission": scene.mat_emission * 1.5}
+    sc = scene.replace(**params)
+
+    mesh_dp = make_mesh((8,), ("dp",))
+    loss_r, grads_r = fit_step_sharded(sc, params, target, CFG, mesh_dp)
+    loss_t, grads_t = fit_step_tiled(sc, params, target, CFG, mesh_dp)
+    np.testing.assert_allclose(float(loss_t), float(loss_r),
+                               rtol=1e-5, atol=1e-7)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(grads_t[k]),
+                                   np.asarray(grads_r[k]),
+                                   rtol=2e-4, atol=1e-6)
+    gn = sum(float(jnp.abs(g).sum()) for g in grads_t.values())
+    assert np.isfinite(gn) and gn > 0.0
+
+    # and on the 2-axis mesh
+    mesh2 = make_mesh((2, 4), ("host", "chip"))
+    loss_t2, grads_t2 = fit_step_tiled(sc, params, target, CFG, mesh2)
+    np.testing.assert_allclose(float(loss_t2), float(loss_r),
+                               rtol=1e-5, atol=1e-7)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(grads_t2[k]),
+                                   np.asarray(grads_r[k]),
+                                   rtol=2e-4, atol=1e-6)

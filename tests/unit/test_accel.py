@@ -194,3 +194,71 @@ f -4 -3 -2 -1
     np.testing.assert_allclose(tv[0, 1], [1, 0, 0])
     scene = obj_scene(obj, accel="none")
     assert scene.n_tris == 4
+
+
+def test_pairs_kernel_matches_brute_interpret():
+    """Round-4 pair-expansion traversal (accel.pairs_tpu) vs brute force
+    in interpreter mode: closest hit, any-hit, mixed liveness, ragged
+    tail, and a K-overflow-heavy scene (rays admitting > K clusters must
+    resolve exactly through the union-walk fallback)."""
+    from tputracer.accel.pairs_tpu import K, intersect_pairs, occluded_pairs
+
+    n = 4 * 64 + 7
+    # dense overlapping clusters so many rays admit more than K boxes
+    scene = _random_scene(n_tris=480, leaf_size=16, seed=31)
+    o, d = _random_rays(n, seed=32)
+    r = np.random.default_rng(33)
+    tmax_np = r.uniform(0.5, 4.0, n).astype(np.float32)
+    tmax_np[64:128] = 0.0                       # dead subtile
+    tmax_np[r.integers(0, n, n // 4)] = 0.0     # scattered dead lanes
+    tmin = jnp.zeros((n,))
+    tmax = jnp.asarray(tmax_np)
+
+    hb = intersect_brute(scene, o, d, tmin, jnp.full((n,), 3.0e38))
+    hp = intersect_pairs(scene, o, d, tmin, jnp.full((n,), 3.0e38),
+                         interpret=True)
+    v = np.asarray(hb.valid)
+    assert K >= 2
+    np.testing.assert_array_equal(np.asarray(hp.valid), v)
+    np.testing.assert_array_equal(np.asarray(hp.prim)[v],
+                                  np.asarray(hb.prim)[v])
+    # rtol as the union-walk kernel test; atol for near-zero t where the
+    # Moeller-Trumbore vs plane-equation formula skew is absolute
+    np.testing.assert_allclose(np.asarray(hp.t)[v], np.asarray(hb.t)[v],
+                               rtol=2e-4, atol=1e-6)
+
+    # mixed-liveness closest hit: dead lanes come back invalid
+    hb2 = intersect_brute(scene, o, d, tmin, tmax)
+    hp2 = intersect_pairs(scene, o, d, tmin, tmax, interpret=True)
+    dead = tmax_np == 0.0
+    assert not np.asarray(hp2.valid)[dead].any()
+    np.testing.assert_array_equal(np.asarray(hp2.valid),
+                                  np.asarray(hb2.valid))
+    v2 = np.asarray(hb2.valid)
+    np.testing.assert_array_equal(np.asarray(hp2.prim)[v2],
+                                  np.asarray(hb2.prim)[v2])
+
+    ob = np.asarray(occluded_brute(scene, o, d, tmax))
+    op = np.asarray(occluded_pairs(scene, o, d, tmax, interpret=True))
+    assert not op[dead].any()
+    np.testing.assert_array_equal(ob, op)
+
+
+def test_pairs_kernel_no_spheres_interpret():
+    """Pair traversal on a sphere-free clustered scene (bt0 = tmax path)."""
+    from tputracer.accel.pairs_tpu import intersect_pairs, occluded_pairs
+
+    scene = _random_scene(n_tris=300, n_spheres=0, leaf_size=16, seed=41)
+    o, d = _random_rays(300, seed=42)
+    tmin = jnp.zeros((300,))
+    tmax = jnp.full((300,), 3.0e38)
+    hb = intersect_brute(scene, o, d, tmin, tmax)
+    hp = intersect_pairs(scene, o, d, tmin, tmax, interpret=True)
+    v = np.asarray(hb.valid)
+    np.testing.assert_array_equal(np.asarray(hp.valid), v)
+    np.testing.assert_array_equal(np.asarray(hp.prim)[v],
+                                  np.asarray(hb.prim)[v])
+    ob = np.asarray(occluded_brute(scene, o, d, jnp.full((300,), 1.5)))
+    op = np.asarray(occluded_pairs(scene, o, d, jnp.full((300,), 1.5),
+                                   interpret=True))
+    np.testing.assert_array_equal(ob, op)

@@ -40,9 +40,28 @@ def _use_fused(scene):
     return scene.n_tri_pad % 128 == 0 and jax.default_backend() == "tpu"
 
 
+def _use_pairs(scene):
+    """Pair-expansion traversal (accel.pairs_tpu) — opt-in via
+    TPUTRACER_PAIRS=1.  Measured on axon (round 4,
+    benchmarks/experiments/_exp_pairs.py): the scheme reaches 98%%+
+    resolution at K=4 and full lane utilization, but this backend's
+    random-row gather/scatter costs ~11 ns/row, so moving (ray, cluster)
+    pair data (4x ray granularity) costs more than the union walk's
+    utilization loss.  The live-first compaction wrapper on the
+    union-walk kernel captures the dead-lane half of the win at ray
+    granularity instead (traverse_tpu._compacted_traverse)."""
+    if not os.environ.get("TPUTRACER_PAIRS"):
+        return False
+    return _use_pallas(scene)
+
+
 def intersect(scene, o, d, tmin, tmax) -> Hit:
     """Closest-hit over the scene; backend picked by scene layout."""
     if scene.n_clusters:
+        if _use_pairs(scene):
+            from tputracer.accel.pairs_tpu import intersect_pairs
+
+            return intersect_pairs(scene, o, d, tmin, tmax)
         if _use_pallas(scene):
             from tputracer.accel.traverse_tpu import intersect_pallas
 
@@ -58,6 +77,10 @@ def intersect(scene, o, d, tmin, tmax) -> Hit:
 def occluded(scene, o, d, tmax):
     """Any-hit shadow predicate; backend picked by scene layout."""
     if scene.n_clusters:
+        if _use_pairs(scene):
+            from tputracer.accel.pairs_tpu import occluded_pairs
+
+            return occluded_pairs(scene, o, d, tmax)
         if _use_pallas(scene):
             from tputracer.accel.traverse_tpu import occluded_pallas
 

@@ -56,6 +56,31 @@ Attempted and rejected with measurements:
 The kernel is compute-bound at the VPU on both of its halves; further
 gains need either narrower arithmetic with conservative widening (bf16
 slab) or a different lane-utilization scheme for incoherent rays.
+
+Round-4 campaign on those two candidates (all measured on the mesh
+config; scripts in benchmarks/experiments/):
+  * ADOPTED — live-first compaction (_compacted_traverse below):
+    9.4 -> 11.1M rays/s (+18%).  Packs live lanes contiguous per
+    traversal call, moving one (N, 10) matrix instead of the round-2
+    whole-wavefront sort's 13 arrays (glue 0.6 ms/65k-ray call).
+  * REJECTED — bf16 slab with conservative widening (_prep_boxes):
+    9.5 -> 6.5M.  Mosaic's bf16 packing forces relayouts around the
+    slab's broadcasts that cost more than the halved element width.
+    Kept opt-in (TPUTRACER_SLAB_BF16=1); math validated by oracle tests.
+  * REJECTED — pair-expansion traversal (accel.pairs_tpu, opt-in
+    TPUTRACER_PAIRS=1): each ray gets K=4 slots for its K nearest
+    admitted clusters (measured: covers 96-99%), pairs lax.sort by
+    cluster -> full lane utilization.  The kernels win big (pairtest
+    2.9 ms vs union-walk 9.4 ms per 65k-ray call) but this backend
+    gathers/scatters random rows at ~11 ns/row (_exp_sortcost.py /
+    _exp_pairs.py), so moving pair-granularity ray data costs more
+    than the utilization it buys: 9.4 -> 2.3M end-to-end.
+  * REJECTED — ray reordering by first-cluster keys (_exp_order.py):
+    best key (c0, c1) shrinks incoherent tile unions only 30 -> 19
+    and costs a slab pass to compute.  Bounce rays are genuinely
+    incoherent in this scene; tile coherence cannot be manufactured.
+  * RE-REJECTED with compaction in place: TILE=32/SUB=32 (8.7M vs
+    11.1M), full-frame chunk_size=262144 (6.9M vs 9.5M at 64k).
 """
 
 from __future__ import annotations
@@ -157,6 +182,98 @@ def _traverse_kernel(o_ref, d_ref, tmin_ref, tmax_ref, bt0_ref, bp0_ref,
                            refresh=refresh)
 
 
+def slab_te(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref):
+    """Dense ray-vs-all-cluster-AABB slab pass for ray rows ``rs``.
+
+    Returns the (TILE, C) entry-distance matrix: max(tn, tmin) where the
+    ray's (tmin, tmax) interval overlaps the box, BIG elsewhere.  Shared
+    by the union-walk kernel and the pair-expansion kernel.
+
+    When the cluster tables arrive as bfloat16 (the round-4 default —
+    see ``_prep_boxes``) the whole per-axis chain runs at bf16 vector
+    width (2x element throughput on the VPU).  Correctness: the slab
+    only decides ADMISSION, never hit values (Moeller-Trumbore stays
+    f32), so it is sound iff te is a conservative LOWER bound and the
+    overlap test is conservatively WIDE.  That is guaranteed by
+    (a) host-side box widening by ~2^-7 relative before the bf16
+    round-down/round-up (_prep_boxes), and (b) the (1 +- 2^-5)
+    guard-scaling below, which covers the <= ~4-ulp relative error of
+    the bf16 sub/mul/min/max chain with 2x margin.  Wider admission can
+    only ADD cluster visits (a cluster containing a closer hit has
+    exact te < bt and is admitted by the exact test as well).
+    """
+    BIG = 3.0e38
+    C = cmin_ref.shape[1]
+    bf16 = cmin_ref.dtype == jnp.bfloat16
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    tn = jnp.full((TILE, C), -BIG, dt)
+    tf = jnp.full((TILE, C), BIG, dt)
+    for a in range(3):
+        da = d_ref[rs, a:a + 1]                          # (TILE,1)
+        tiny = jnp.float32(1e-12)
+        inv = 1.0 / jnp.where(jnp.abs(da) < tiny,
+                              jnp.where(da >= 0.0, tiny, -tiny), da)
+        inv = inv.astype(dt)
+        oa = o_ref[rs, a:a + 1].astype(dt)
+        t0 = (cmin_ref[a:a + 1, :] - oa) * inv
+        t1 = (cmax_ref[a:a + 1, :] - oa) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    if bf16:
+        # conservative guard: lower-bound the entry, upper-bound the exit
+        guard = jnp.bfloat16(2.0 ** -5)
+        tn = (tn - jnp.abs(tn) * guard).astype(jnp.float32)
+        tf = (tf + jnp.abs(tf) * guard).astype(jnp.float32)
+    # (tmin < tmax): an empty window (dead lane, tmax=0) must admit
+    # nothing even when the origin sits inside a box (tn < 0 < tf) —
+    # the union-walk was shielded by its bt0=0 admission but the expand
+    # kernel (pairs_tpu) emits slots straight from this matrix
+    hit = (tn <= tf) & (tf > tmin) & (tn < tmax) & (tmin < tmax)
+    return jnp.where(hit, jnp.maximum(tn, tmin), BIG)
+
+
+def mt_cluster_block(o_ref, d_ref, rs, v0_ref, e1_ref, e2_ref, mask_ref,
+                     c, tmin, bt, leaf):
+    """Dense Moeller-Trumbore of ray rows ``rs`` vs cluster ``c``'s
+    triangle block -> (nearest t (TILE,1), block-local argmin (TILE,1)).
+
+    Shared by the union-walk kernel below and the pair-expansion kernel
+    (accel.pairs_tpu).  multiple_of: Mosaic must statically prove
+    lane-dim slice offsets are 128-aligned — hence the leaf %% 128 == 0
+    requirement for the compiled path (dispatch falls back otherwise).
+    """
+    BIG = 3.0e38
+    sl = pl.ds(pl.multiple_of(c * leaf, 128) if leaf % 128 == 0
+               else c * leaf, leaf)
+    v0x, v0y, v0z = (v0_ref[a:a + 1, sl] for a in range(3))  # (1,L)
+    e1x, e1y, e1z = (e1_ref[a:a + 1, sl] for a in range(3))
+    e2x, e2y, e2z = (e2_ref[a:a + 1, sl] for a in range(3))
+    msk = mask_ref[0:1, sl]
+    ox, oy, oz = (o_ref[rs, a:a + 1] for a in range(3))      # (TILE,1)
+    dx, dy, dz = (d_ref[rs, a:a + 1] for a in range(3))
+
+    px = dy * e2z - dz * e2y                                 # (TILE,L)
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) > 1e-12
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * px + sy * py + sz * pz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > tmin) & (t < bt) & (msk > 0.0))
+    tblk = jnp.where(ok, t, BIG)
+
+    th = jnp.min(tblk, axis=1, keepdims=True)                # (TILE,1)
+    j = jnp.argmin(tblk, axis=1).astype(jnp.int32)[:, None]
+    return th, j
+
+
 def _traverse_tile(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref,
                    v0_ref, e1_ref, e2_ref, mask_ref, bt_out, bp_out,
                    te_scr, score_scr, *, leaf, any_hit, refresh):
@@ -164,19 +281,7 @@ def _traverse_tile(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref,
     C = cmin_ref.shape[1]
 
     # ---- dense ray-vs-all-AABB slab pass -> entry-distance scratch ----
-    tn = jnp.full((TILE, C), -BIG)
-    tf = jnp.full((TILE, C), BIG)
-    for a in range(3):
-        da = d_ref[rs, a:a + 1]                          # (TILE,1)
-        tiny = jnp.float32(1e-12)
-        inv = 1.0 / jnp.where(jnp.abs(da) < tiny,
-                              jnp.where(da >= 0.0, tiny, -tiny), da)
-        t0 = (cmin_ref[a:a + 1, :] - o_ref[rs, a:a + 1]) * inv
-        t1 = (cmax_ref[a:a + 1, :] - o_ref[rs, a:a + 1]) * inv
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    hit = (tn <= tf) & (tf > tmin) & (tn < tmax)
-    te_scr[:] = jnp.where(hit, jnp.maximum(tn, tmin), BIG)
+    te_scr[:] = slab_te(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref)
     # all vector state lives in VMEM scratch; the while-loop carries only
     # scalars (Mosaic cannot yield vectors through scf.while)
     iota_c = lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -214,38 +319,8 @@ def _traverse_tile(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref,
         bt = bt_out[rs]
         bp = bp_out[rs]
 
-        # dense Moeller-Trumbore of the whole tile vs the cluster's block.
-        # multiple_of: Mosaic must statically prove lane-dim slice offsets
-        # are 128-aligned — hence the leaf %% 128 == 0 requirement for the
-        # compiled path (the dispatcher falls back to XLA otherwise).
-        sl = pl.ds(pl.multiple_of(c * leaf, 128) if leaf % 128 == 0
-                   else c * leaf, leaf)
-        v0x, v0y, v0z = (v0_ref[a:a + 1, sl] for a in range(3))  # (1,L)
-        e1x, e1y, e1z = (e1_ref[a:a + 1, sl] for a in range(3))
-        e2x, e2y, e2z = (e2_ref[a:a + 1, sl] for a in range(3))
-        msk = mask_ref[0:1, sl]
-        ox, oy, oz = (o_ref[rs, a:a + 1] for a in range(3))      # (TILE,1)
-        dx, dy, dz = (d_ref[rs, a:a + 1] for a in range(3))
-
-        px = dy * e2z - dz * e2y                                 # (TILE,L)
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) > 1e-12
-        f = 1.0 / jnp.where(ok, det, 1.0)
-        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-        u = f * (sx * px + sy * py + sz * pz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (dx * qx + dy * qy + dz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t > tmin) & (t < bt) & (msk > 0.0))
-        tblk = jnp.where(ok, t, BIG)
-
-        th = jnp.min(tblk, axis=1, keepdims=True)                # (TILE,1)
-        j = jnp.argmin(tblk, axis=1).astype(jnp.int32)[:, None]
+        th, j = mt_cluster_block(o_ref, d_ref, rs, v0_ref, e1_ref, e2_ref,
+                                 mask_ref, c, tmin, bt, leaf)
         imp = th < bt
         if any_hit:
             # shadow rays: ANY hit occludes — drop the lane's horizon to
@@ -267,6 +342,30 @@ def _traverse_tile(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref,
     lax.while_loop(lambda s: s[2] < BIG, body, (jnp.int32(0), c0, val0))
 
 
+def _prep_boxes(cmin, cmax):
+    """Widen + downcast the (3, C) cluster AABB tables to bfloat16 for
+    the fast slab pass (see slab_te).  Host-exact conservative widening:
+    pad by 2^-7 of the value scale so the bf16 round-to-nearest (2^-8)
+    can never shrink a box.  Never-hit sentinel boxes (3e38) keep their
+    exact value — widening them below 3e38 would let near-unit inv rays
+    admit them spuriously.
+
+    Default OFF (opt-in TPUTRACER_SLAB_BF16=1): measured on the mesh
+    config (round 4) the bf16 slab is a 1.45x REGRESSION (9.49 -> 6.53M
+    rays/s) — Mosaic's bf16 (16, 128) packing forces relayouts around
+    the (1, C) x (TILE, 1) broadcasts and the f32 compare tail, costing
+    more than the 2x element-width saves.  Kept because the math
+    (conservative admission) is validated by the oracle tests and a
+    future Mosaic may lower it better."""
+    if not os.environ.get("TPUTRACER_SLAB_BF16"):
+        return cmin, cmax
+    pad = (jnp.abs(cmin) + jnp.abs(cmax) + (cmax - cmin)) * 2.0**-7 + 1e-7
+    sentinel = cmin > 1e30
+    cmin_w = jnp.where(sentinel, cmin, cmin - pad).astype(jnp.bfloat16)
+    cmax_w = jnp.where(sentinel, cmax, cmax + pad).astype(jnp.bfloat16)
+    return cmin_w, cmax_w
+
+
 @functools.partial(jax.jit,
                    static_argnames=("leaf", "interpret", "any_hit"))
 def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
@@ -281,6 +380,7 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
                        constant_values=fill)
 
+    cmin, cmax = _prep_boxes(cmin, cmax)
     o_p, d_p = pad0(o), pad0(d, 1.0)
     args = (o_p, d_p,
             pad0(tmin[:, None]), pad0(tmax[:, None]),
@@ -325,17 +425,57 @@ def _traverse_pallas(o, d, tmin, tmax, bt0, bp0, cmin, cmax,
     return bt[:n, 0], bp[:n, 0]
 
 
+def _compacted_traverse(sc, o, d, tmin, tmax, bt0, bp0, *, any_hit,
+                        interpret):
+    """Live-first compaction around the kernel (round-4, SURVEY.md §7 M5).
+
+    RR and NEE gating kill lanes SCATTERED across the wavefront, so by
+    the late bounces nearly every 64-ray subtile still contains a live
+    lane and pays the full slab + union walk (frame-level: issued/flat =
+    28%% on the mesh config, yet dead subtiles were rare).  A stable
+    sort by liveness packs live lanes into a contiguous prefix — dead
+    subtiles then skip at ~0.08 us via the kernel's any_live guard —
+    while preserving pixel-major coherence within the live block.  The
+    reorder moves ONE packed (N, 10) matrix + one packed (N, 2) result
+    (measured 0.6 ms per 65k-ray call on axon; the round-2 whole-
+    wavefront sort_rays permuted 13 state arrays per bounce, which is
+    why it measured as a wash).  TPUTRACER_NO_COMPACT disables."""
+    n = o.shape[0]
+    if os.environ.get("TPUTRACER_NO_COMPACT"):
+        perm = None
+    else:
+        key = (tmax <= tmin).astype(jnp.int32)      # live (0) first, stable
+        _, perm = lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                           num_keys=1)
+        # ints travel in int lanes: bitcasting small prim ids through
+        # float32 makes them DENORMALS (and -1 a NaN pattern), which the
+        # TPU flushes to zero somewhere along the copy chain — observed
+        # as a corrupted mesh render (mean 0.107 vs the XLA path's 0.250)
+        pack = jnp.concatenate([
+            o, d, tmin[:, None], tmax[:, None], bt0[:, None]], axis=1)
+        g = pack[perm]
+        o, d = g[:, 0:3], g[:, 3:6]
+        tmin, tmax, bt0 = g[:, 6], g[:, 7], g[:, 8]
+        bp0 = bp0[perm]
+    t, prim = _traverse_pallas(
+        o, d, tmin, tmax, bt0, bp0,
+        sc.clus_min.T, sc.clus_max.T,
+        sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
+        leaf=sc.leaf_size, interpret=interpret, any_hit=any_hit)
+    if perm is not None:
+        t = jnp.zeros((n,), jnp.float32).at[perm].set(t)
+        prim = jnp.zeros((n,), jnp.int32).at[perm].set(prim)
+    return t, prim
+
+
 def intersect_pallas(scene, o, d, tmin, tmax, interpret=False):
     """Closest hit via the Pallas tile-coherent kernel (Hit SoA)."""
     od, dd, tn, tx = _detach(o, d, tmin, tmax)
     sc = lax.stop_gradient(scene)
     bt0, bp0 = _sphere_best(sc, od, dd, tn, tx)
     bt0 = jnp.minimum(bt0, tx)
-    t, prim = _traverse_pallas(
-        od, dd, tn, tx, bt0, bp0,
-        sc.clus_min.T, sc.clus_max.T,
-        sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
-        leaf=scene.leaf_size, interpret=interpret)
+    t, prim = _compacted_traverse(sc, od, dd, tn, tx, bt0, bp0,
+                                  any_hit=False, interpret=interpret)
     return finalize_hit(scene, o, d, t, prim, t < tmax)
 
 
@@ -345,10 +485,8 @@ def occluded_pallas(scene, o, d, tmax, interpret=False):
     sc = lax.stop_gradient(scene)
     tmin = jnp.zeros(o.shape[:1], jnp.float32)
     bt0, _ = _sphere_best(sc, o, d, tmin, tmax)
-    t, _ = _traverse_pallas(
-        o, d, tmin, tmax, jnp.minimum(bt0, tmax),
-        jnp.full(o.shape[:1], -1, jnp.int32),
-        sc.clus_min.T, sc.clus_max.T,
-        sc.tri_v0.T, sc.tri_e1.T, sc.tri_e2.T, sc.tri_mask[None, :],
-        leaf=scene.leaf_size, interpret=interpret, any_hit=True)
+    t, _ = _compacted_traverse(sc, o, d, tmin, tmax,
+                               jnp.minimum(bt0, tmax),
+                               jnp.full(o.shape[:1], -1, jnp.int32),
+                               any_hit=True, interpret=interpret)
     return t < tmax

@@ -62,8 +62,8 @@ def main(argv=None):
 
     t0 = time.time()
     img, stats = run(scene, cfg)
-    img.block_until_ready()
-    t_compile = time.time() - t0
+    np.asarray(img)   # FULL host fetch: axon's block_until_ready can
+    t_compile = time.time() - t0   # return before the dispatch drains
 
     ctx = None
     if args.profile:

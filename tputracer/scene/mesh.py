@@ -90,10 +90,13 @@ def displaced_blob(subdiv=6, amp=0.12, freq=4.5):
 
 
 def mesh_scene(subdiv=6, leaf_size=128, accel="auto", light_scale=1.0):
-    """BASELINE config 3: a ~100k-triangle displaced blob in a lit room.
+    """BASELINE config 3: a >100k-triangle mesh scene in a lit room.
 
-    subdiv=6 -> 20*4^6 = 81,920 blob triangles (+ room & light quads);
-    subdiv=5 -> 20,480 (fast CI variant).
+    The main displaced blob has 20*4^subdiv triangles (subdiv=6 ->
+    81,920); at subdiv >= 6 a second quarter-scale blob (subdiv-1 ->
+    20,480) stands beside it so the scene crosses the literal ~100k-tri
+    line of BASELINE config 3 (102,410 total with the room quads).
+    subdiv=5 and below stay single-blob (fast CI variants).
     """
     from tputracer.scene.cornell import quad
 
@@ -113,9 +116,17 @@ def mesh_scene(subdiv=6, leaf_size=128, accel="auto", light_scale=1.0):
 
     blob = displaced_blob(subdiv=subdiv) * 0.8
     blob[:, :, 1] += 1.0                       # rest on the floor-ish
-    tris = np.concatenate([np.stack(tris), blob], axis=0)
+    blobs = [blob]
+    if subdiv >= 6:
+        small = displaced_blob(subdiv=subdiv - 1, freq=6.5) * 0.4
+        small[:, :, 0] += 1.25
+        small[:, :, 1] += 0.45
+        small[:, :, 2] -= 0.75
+        blobs.append(small)
+    blobs = np.concatenate(blobs, axis=0)
+    tris = np.concatenate([np.stack(tris), blobs], axis=0)
     mats = np.concatenate([np.asarray(mats, np.int32),
-                           np.full((blob.shape[0],), 4, np.int32)])
+                           np.full((blobs.shape[0],), 4, np.int32)])
 
     materials = [
         {"kind": DIFFUSE, "albedo": (0.73, 0.73, 0.73)},
