@@ -174,7 +174,7 @@ def _build_vertex_lists(scene, pts, ng, wo, mats, prims, pdf_a, e):
     return zs, ys
 
 
-def _sum_weights(scene, k, n=64, seed=0, mirror_at=None):
+def _sum_weights(scene, k, n=64, seed=0, mirror_at=None, power=False):
     pts, ng, wo, mats, prims, pdf_a, e = _make_paths(
         scene, k, n, seed, mirror_at)
     zs, ys = _build_vertex_lists(scene, pts, ng, wo, mats, prims, pdf_a, e)
@@ -187,7 +187,7 @@ def _sum_weights(scene, k, n=64, seed=0, mirror_at=None):
         if mirror_at is not None and s >= 1:
             if t - 1 == mirror_at or k - s == mirror_at:
                 continue
-        w = _mis_weight(scene, scene.camera, ys, zs, s, t)
+        w = _mis_weight(scene, scene.camera, ys, zs, s, t, power=power)
         total = total + w
     return np.asarray(total)
 
@@ -209,3 +209,35 @@ def test_bdpt_mis_weights_sum_to_one_with_mirror():
         tot = _sum_weights(scene, k, n=64, seed=seed, mirror_at=m)
         np.testing.assert_allclose(tot, 1.0, rtol=2e-3,
                                    err_msg=f"k={k} mirror_at={m}")
+
+
+def test_bdpt_mis_weights_sum_to_one_power_heuristic():
+    """Round-4: the beta=2 power-heuristic option (BdptConfig.mis_power)
+    must satisfy the same identity — every strategy weight becomes
+    p_s^2 / sum_i p_i^2, whose sum over samplable strategies is 1."""
+    scene = cornell_box("boxes")
+    for k, seed in ((3, 11), (4, 12), (5, 13)):
+        tot = _sum_weights(scene, k, n=64, seed=seed, power=True)
+        np.testing.assert_allclose(tot, 1.0, rtol=2e-3,
+                                   err_msg=f"k={k} power")
+    scene = cornell_box("spheres")
+    for k, m, seed in ((4, 1, 14), (5, 2, 15)):
+        tot = _sum_weights(scene, k, n=64, seed=seed, mirror_at=m,
+                           power=True)
+        np.testing.assert_allclose(tot, 1.0, rtol=2e-3,
+                                   err_msg=f"k={k} mirror_at={m} power")
+
+
+def test_bdpt_power_heuristic_render_converges():
+    """End-to-end: a power-heuristic BDPT render agrees with the balance
+    render within MC noise (both unbiased, weights differ per stratum)."""
+    from tputracer.api import render_bdpt
+    from tputracer.config import BdptConfig
+
+    scene = cornell_box("caustic")
+    cfg = BdptConfig(width=12, height=12, spp=8, max_bounces=3,
+                     chunk_size=12 * 12 * 8)
+    a = np.asarray(render_bdpt(scene, cfg)[0])
+    b = np.asarray(render_bdpt(scene, cfg.with_(mis_power=True))[0])
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.06, (a.mean(), b.mean())

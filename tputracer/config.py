@@ -66,6 +66,12 @@ class BdptConfig:
     seed: int = 0
     chunk_size: int = 1 << 16
     transport_radiance: bool = True
+    mis_power: bool = False       # False = balance heuristic; True =
+                                  # Veach power heuristic (beta=2).
+                                  # SURVEY §3.3 describes the reference
+                                  # as power-heuristic but the mount is
+                                  # empty (SURVEY §0): default stays
+                                  # balance until a re-survey settles it.
 
     def with_(self, **kw):
         return replace(self, **kw)

@@ -55,8 +55,10 @@ def ring_bdpt_radiance(scene, uids, cfg, axes, n_shards):
     ys_r = ys
     for r in range(n_shards):
         if r > 0:
+            # tuple axis name = linearized multi-axis ring (row-major),
+            # so the same code serves (dp,) and (host, chip) meshes
             ys_r = jax.tree.map(
-                lambda x: lax.ppermute(x, axes[0], perm), ys_r)
+                lambda x: lax.ppermute(x, tuple(axes), perm), ys_r)
         conn = conn + connection_radiance(scene, cfg, ys_r, zs)
     return L + conn / jnp.float32(n_shards), splat
 
@@ -85,8 +87,6 @@ def emulate_ring_bdpt(scene, uids, cfg, n_shards):
 @partial(jax.jit, static_argnums=(1, 2))
 def _render_bdpt_ring_jit(scene, cfg, mesh):
     axes = mesh.axis_names
-    if len(axes) != 1:
-        raise NotImplementedError("ring connection runs over a 1-axis mesh")
     n_shards = int(np.prod(mesh.devices.shape))
     rows_per = cfg.height // n_shards
     if rows_per * n_shards != cfg.height:
@@ -97,7 +97,9 @@ def _render_bdpt_ring_jit(scene, cfg, mesh):
         L_own, splat = ring_bdpt_radiance(scene, uids, cfg, axes, n_shards)
         img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
         splat = lax.psum(splat, axes)
-        i = lax.axis_index(axes[0])
+        i = jnp.int32(0)
+        for ax in axes:
+            i = i * lax.axis_size(ax) + lax.axis_index(ax)
         rows = lax.dynamic_slice(
             splat.reshape(cfg.height, cfg.width, 3),
             (i * rows_per, 0, 0), (rows_per, cfg.width, 3))

@@ -160,11 +160,20 @@ def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
     return verts
 
 
-def _mis_weight(scene, cam, ys, zs, s, t):
-    """Balance-heuristic MIS weight of strategy (s, t) over all strategies
-    that sample the same full path.  ys/zs are the light/eye vertex lists;
-    the connection joins ys[s-1] and zs[t-1] (s=0: zs[t-1] lies ON a
+def _mis_weight(scene, cam, ys, zs, s, t, power=False):
+    """MIS weight of strategy (s, t) over all strategies that sample the
+    same full path.  ys/zs are the light/eye vertex lists; the
+    connection joins ys[s-1] and zs[t-1] (s=0: zs[t-1] lies ON a
     light).  Returns (N,) weights; garbage on lanes the caller masks out.
+
+    power=False: balance heuristic w = p_s / sum_i p_i (default).
+    power=True: Veach power heuristic with beta=2, w = p_s^2 / sum_i
+    p_i^2 — each accumulated pdf ratio is squared; the running ratio
+    chain itself stays linear.  SURVEY.md §3.3 describes the reference
+    as power-heuristic, but the mount is empty (SURVEY §0) so the
+    default stays the balance heuristic until a re-survey can confirm;
+    both satisfy the weight-sum==1 identity
+    (tests/golden/test_bdpt_mis_weights.py runs both).
     """
     fwd_z = [v["pdf_fwd"] for v in zs[:t]]
     rev_z = [v["pdf_rev"] for v in zs[:t]]
@@ -223,7 +232,7 @@ def _mis_weight(scene, cam, ys, zs, s, t):
     for i in range(t - 1, 0, -1):
         ri = ri * _remap0(rev_z[i]) / _remap0(fwd_z[i])
         ok = jnp.logical_not(del_z[i]) & jnp.logical_not(del_z[i - 1])
-        sum_ri = sum_ri + jnp.where(ok, ri, 0.0)
+        sum_ri = sum_ri + jnp.where(ok, ri * ri if power else ri, 0.0)
     # ... and toward the light (area lights are never delta).  The two
     # chains are INDEPENDENT products (Veach '97 eq. 10.9 / PBRT v3
     # MISWeight): each starts from ratio 1 at the connection edge.
@@ -233,7 +242,7 @@ def _mis_weight(scene, cam, ys, zs, s, t):
         ok = jnp.logical_not(del_y[i])
         if i > 0:
             ok = ok & jnp.logical_not(del_y[i - 1])
-        sum_ri = sum_ri + jnp.where(ok, ri, 0.0)
+        sum_ri = sum_ri + jnp.where(ok, ri * ri if power else ri, 0.0)
     return 1.0 / (1.0 + sum_ri)
 
 
@@ -300,7 +309,8 @@ def s0_radiance(scene, cfg, zs):
         z = zs[t - 1]
         le_hit = emitted(scene, z["mat"], z["ng"], -z["wo"])
         _, is_em = pdf_light_area(scene, z["prim"])
-        w = _mis_weight(scene, cam, [], zs, 0, t)
+        w = _mis_weight(scene, cam, [], zs, 0, t,
+                        power=cfg.mis_power)
         mask = z["valid"] & is_em
         L_own = L_own + jnp.where(
             mask[:, None], z["beta"] * le_hit * w[:, None], 0.0)
@@ -342,7 +352,8 @@ def connection_radiance(scene, cfg, ys, zs):
             o_s = z["p"] + g.face_forward(z["ng"], d_zy) * eps
             occ = occluded(scene, o_s, d_zy, tmax=dist * (1.0 - 1e-3))
             mask = mask & jnp.logical_not(occ)
-            w = _mis_weight(scene, cam, ys, zs, s, t)
+            w = _mis_weight(scene, cam, ys, zs, s, t,
+                            power=cfg.mis_power)
             L_own = L_own + jnp.where(mask[:, None], c * w[:, None], 0.0)
     return L_own
 
@@ -393,7 +404,8 @@ def t1_splats(scene, cfg, ys, zs):
             scene, jnp.broadcast_to(cam.o[None, :], (n, 3)), d_cy,
             tmax=dist * (1.0 - 1e-3))
         mask = mask & jnp.logical_not(occ)
-        w = _mis_weight(scene, cam, ys, zs, s, 1)
+        w = _mis_weight(scene, cam, ys, zs, s, 1,
+                        power=cfg.mis_power)
         c = jnp.where(mask[:, None], c * w[:, None], 0.0)
         pix_id = jnp.where(mask, py * cfg.width + px, n_pix)
         splat = splat + jax.ops.segment_sum(
