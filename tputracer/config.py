@@ -31,6 +31,26 @@ class RenderConfig:
                                   # HBM traffic in inverse rendering.
                                   # Primal math is identical (same step
                                   # function either way).
+    # PP analogue (bounce-stage pipelining, SURVEY.md §2 PP row):
+    # REJECTED with data, round 4 (benchmarks/experiments/_exp_pp.py).
+    # Within a chip: chained traversal-kernel pairs with NO data
+    # dependence run no faster than dependent pairs (0.64x, i.e.
+    # slower) — the TPU executor runs kernels serially, so issuing
+    # bounce k's traversal "before" bounce k-1's NEE shading cannot
+    # overlap anything; XLA already owns the schedule.  Across chips:
+    # pipelining bounce stages would ship the full wavefront state over
+    # ICI every bounce and idle devices during fill/drain, strictly
+    # dominated by DP (rays are embarrassingly parallel with zero
+    # steady-state forward comm, dist/mesh.py).  No flag on purpose.
+    # EP analogue (material-keyed shading dispatch, SURVEY.md §2 EP row):
+    # REJECTED with data, round 4 (benchmarks/experiments/_exp_ep.py).
+    # The full masked-all-lobes shading bundle (emitted + NEE eval + pdf
+    # + sample, diffuse/mirror/glass) costs 3.25 ns/lane on the glass
+    # config vs 3.32 ns/lane for a perfectly-routed single-lobe batch —
+    # XLA fuses the masked lobes into the same bandwidth-bound
+    # elementwise sweep, so MoE-style routing has NOTHING to win (upper
+    # bound measured at -0.6% of frame) and would add two permutes per
+    # bounce.  No flag is provided on purpose.
     sort_rays: bool = False       # M5: re-sort the wavefront by (alive,
                                   # direction octant, origin cell) each
                                   # bounce. Measured on the mesh config
