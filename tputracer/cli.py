@@ -36,7 +36,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from tputracer.config import BdptConfig, RenderConfig
-    from tputracer.film import save_png
+    from tputracer.film import save_image
     from tputracer.scene import cornell_box, furnace, mesh_scene, obj_scene
 
     if args.obj:
@@ -44,7 +44,7 @@ def main(argv=None):
     elif args.scene == "furnace":
         scene = furnace()
     elif args.scene == "mesh":
-        scene = mesh_scene(subdiv=6)      # ~82k-tri blob (BASELINE config 3)
+        scene = mesh_scene(subdiv=6)      # 102k-tri scene (BASELINE config 3)
     elif args.scene == "mesh_small":
         scene = mesh_scene(subdiv=4)
     else:
@@ -77,7 +77,7 @@ def main(argv=None):
     if ctx is not None:
         ctx.__exit__(None, None, None)
 
-    save_png(img, args.out, exposure=args.exposure)
+    save_image(img, args.out, exposure=args.exposure)
     n_paths = args.size * args.size * args.spp
     # closest-hit + shadow rays actually traced (masked lanes count as work)
     rays = n_paths * (args.bounces + 1 + args.bounces)

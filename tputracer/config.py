@@ -31,6 +31,19 @@ class RenderConfig:
                                   # HBM traffic in inverse rendering.
                                   # Primal math is identical (same step
                                   # function either way).
+                                  # Round-4 payoff datum: at the small
+                                  # bench config the backward is tunnel-
+                                  # latency-bound (remat is a no-op
+                                  # there), and at the first scale where
+                                  # memory could matter (256^2, 6
+                                  # bounces, K=4 chain: 45.8 steps/s
+                                  # without remat) the CHECKPOINTED
+                                  # program fails to compile within 30
+                                  # min on the axon backend (3 attempts,
+                                  # 2026-08-21).  Keep off until the
+                                  # backend's compile scaling improves;
+                                  # correctness stays covered by
+                                  # tests/unit/test_grad.py remat tests.
     # PP analogue (bounce-stage pipelining, SURVEY.md §2 PP row):
     # REJECTED with data, round 4 (benchmarks/experiments/_exp_pp.py).
     # Within a chip: chained traversal-kernel pairs with NO data

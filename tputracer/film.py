@@ -24,3 +24,25 @@ def save_png(img, path, exposure=1.0):
 
     Image.fromarray(to_srgb(img, exposure)).save(path)
     return path
+
+
+def save_ppm(img, path, exposure=1.0):
+    """Binary PPM (P6) writer — the reference-class renderers emit
+    BMP/PPM; provided so a reference user keeps their toolchain."""
+    data = to_srgb(img, exposure)
+    h, w, _ = data.shape
+    with open(path, "wb") as fh:
+        fh.write(f"P6\n{w} {h}\n255\n".encode())
+        fh.write(data.tobytes())
+    return path
+
+
+def save_image(img, path, exposure=1.0):
+    """Dispatch on extension: .ppm -> PPM, anything else via Pillow
+    (png/bmp/jpg...)."""
+    if str(path).lower().endswith(".ppm"):
+        return save_ppm(img, path, exposure)
+    from PIL import Image
+
+    Image.fromarray(to_srgb(img, exposure)).save(path)
+    return path
