@@ -59,12 +59,25 @@ def test_tiled_footprint_is_fractional(scene):
     assert specs.tri_v0 != specs.mat_albedo
 
 
-def test_tiled_render_rejects_sphere_scenes():
+def test_tiled_render_with_spheres_matches_replicated():
+    """Round-5: analytic spheres are first-class in tiled scenes
+    (BASELINE north_star) — the sphere tables stay replicated and
+    resolve on the home hop of the ring, so a sphere-bearing clustered
+    scene renders tiled and matches the replicated render (glass +
+    mirror exercise delta BSDFs through the ring's Hit assembly)."""
     from tputracer.scene import cornell_box
 
-    scene = cornell_box("spheres")
-    with pytest.raises((NotImplementedError, ValueError)):
-        pad_scene_clusters(scene, 8)
+    sc = cornell_box("spheres", accel="cluster", leaf_size=4)
+    assert sc.n_spheres == 2 and sc.n_clusters > 0
+    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=4,
+                       rr_start=3, chunk_size=16 * 16 * 2)
+    ref, ref_stats = render(sc, cfg)
+    mesh = make_mesh((8,), ("dp",))
+    img, stats = render_tiled(sc, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(stats["rays_shadow"]),
+                               np.asarray(ref_stats["rays_shadow"]))
 
 
 def test_tiled_render_2axis_mesh(scene):

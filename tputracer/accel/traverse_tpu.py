@@ -189,18 +189,23 @@ def slab_te(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref):
     ray's (tmin, tmax) interval overlaps the box, BIG elsewhere.  Shared
     by the union-walk kernel and the pair-expansion kernel.
 
-    When the cluster tables arrive as bfloat16 (the round-4 default —
-    see ``_prep_boxes``) the whole per-axis chain runs at bf16 vector
+    When the cluster tables arrive as bfloat16 (OPT-IN via
+    TPUTRACER_SLAB_BF16=1 — default off, measured 1.45x slower; see
+    ``_prep_boxes``) the whole per-axis chain runs at bf16 vector
     width (2x element throughput on the VPU).  Correctness: the slab
     only decides ADMISSION, never hit values (Moeller-Trumbore stays
     f32), so it is sound iff te is a conservative LOWER bound and the
     overlap test is conservatively WIDE.  That is guaranteed by
     (a) host-side box widening by ~2^-7 relative before the bf16
-    round-down/round-up (_prep_boxes), and (b) the (1 +- 2^-5)
-    guard-scaling below, which covers the <= ~4-ulp relative error of
-    the bf16 sub/mul/min/max chain with 2x margin.  Wider admission can
-    only ADD cluster visits (a cluster containing a closer hit has
-    exact te < bt and is admitted by the exact test as well).
+    round-down/round-up (_prep_boxes), and (b) the guard below, which
+    covers the <= ~4-ulp RELATIVE error of the bf16 sub/mul/min/max
+    chain with 2x margin (|t| * 2^-5) PLUS the ABSOLUTE error from
+    rounding the ray origin itself to bf16 (~|o| * 2^-9 per axis,
+    which relative-only guarding misses when |o| >> |box - o|, e.g.
+    origins far outside the scene): the max over axes of |o_a * inv_a|
+    is folded into the guard scale.  Wider admission can only ADD
+    cluster visits (a cluster containing a closer hit has exact
+    te < bt and is admitted by the exact test as well).
     """
     BIG = 3.0e38
     C = cmin_ref.shape[1]
@@ -208,22 +213,31 @@ def slab_te(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref):
     dt = jnp.bfloat16 if bf16 else jnp.float32
     tn = jnp.full((TILE, C), -BIG, dt)
     tf = jnp.full((TILE, C), BIG, dt)
+    oinv = jnp.zeros((TILE, 1), jnp.float32)   # max_a |o_a * inv_a|
     for a in range(3):
         da = d_ref[rs, a:a + 1]                          # (TILE,1)
         tiny = jnp.float32(1e-12)
         inv = 1.0 / jnp.where(jnp.abs(da) < tiny,
                               jnp.where(da >= 0.0, tiny, -tiny), da)
+        oa_f32 = o_ref[rs, a:a + 1]
+        if bf16:
+            oinv = jnp.maximum(oinv, jnp.abs(oa_f32 * inv))
         inv = inv.astype(dt)
-        oa = o_ref[rs, a:a + 1].astype(dt)
+        oa = oa_f32.astype(dt)
         t0 = (cmin_ref[a:a + 1, :] - oa) * inv
         t1 = (cmax_ref[a:a + 1, :] - oa) * inv
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     if bf16:
-        # conservative guard: lower-bound the entry, upper-bound the exit
-        guard = jnp.bfloat16(2.0 ** -5)
-        tn = (tn - jnp.abs(tn) * guard).astype(jnp.float32)
-        tf = (tf + jnp.abs(tf) * guard).astype(jnp.float32)
+        # conservative guard: lower-bound the entry, upper-bound the
+        # exit.  Scale = |t| (relative bf16 chain error) + max |o*inv|
+        # (absolute origin-rounding error; see docstring) — 2^-5 gives
+        # >= 2x margin over both 2^-9-per-op terms.
+        guard = jnp.float32(2.0 ** -5)
+        scale = (jnp.abs(tn).astype(jnp.float32) + oinv) * guard
+        tn = (tn.astype(jnp.float32) - scale)
+        scale_f = (jnp.abs(tf).astype(jnp.float32) + oinv) * guard
+        tf = (tf.astype(jnp.float32) + scale_f)
     # (tmin < tmax): an empty window (dead lane, tmax=0) must admit
     # nothing even when the origin sits inside a box (tn < 0 < tf) —
     # the union-walk was shielded by its bt0=0 admission but the expand
@@ -436,7 +450,8 @@ def _compacted_traverse(sc, o, d, tmin, tmax, bt0, bp0, *, any_hit,
     sort by liveness packs live lanes into a contiguous prefix — dead
     subtiles then skip at ~0.08 us via the kernel's any_live guard —
     while preserving pixel-major coherence within the live block.  The
-    reorder moves ONE packed (N, 10) matrix + one packed (N, 2) result
+    reorder moves ONE packed (N, 9) matrix (o, d, tmin, tmax, bt0)
+    + bp0 + one packed (N, 2) result
     (measured 0.6 ms per 65k-ray call on axon; the round-2 whole-
     wavefront sort_rays permuted 13 state arrays per bounce, which is
     why it measured as a wash).  TPUTRACER_NO_COMPACT disables."""

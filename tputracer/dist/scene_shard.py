@@ -34,8 +34,9 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P  # noqa: F401
 from jax import shard_map
 
-from tputracer.accel.bruteforce import Hit
-from tputracer.accel.clustered import _detach, _traverse, cluster_entries  # noqa: F401
+from tputracer.accel.bruteforce import Hit, _sph_candidates
+from tputracer.accel.clustered import (_detach, _sphere_best, _traverse,  # noqa: F401
+                                       cluster_entries)
 from tputracer.integrators.pt import film_from_radiance, trace_chunked
 from tputracer.lookup import fetch, fetch_int
 
@@ -44,11 +45,12 @@ _BIG = 3.0e38
 
 def pad_scene_clusters(scene, n_shards):
     """Pad the cluster arrays so C divides n_shards (never-hit AABBs,
-    masked triangles) — host-side, before sharding."""
-    if scene.n_spheres:
-        raise NotImplementedError(
-            "scene tiling shards the cluster-major triangle arrays; "
-            "analytic spheres stay replicated in dist.mesh's DP path")
+    masked triangles) — host-side, before sharding.
+
+    Analytic spheres (first-class primitives, BASELINE north_star) need
+    no padding: their tiny tables stay REPLICATED on every shard
+    (scene_tiling_specs default) and are resolved once on the home hop
+    of the ring (see intersect_ring) instead of rotating."""
     C = scene.n_clusters
     if C == 0:
         raise ValueError("scene tiling needs a clustered scene")
@@ -98,7 +100,9 @@ def _ring_perm(axes):
 
 def _local_best(scene_loc, o, d, tmin, tmax, bt, any_hit):
     """Nearest (or any) hit of rays against the LOCAL cluster shard.
-    Returns (t, local_prim) with t=_BIG on miss.
+    Returns (t, local_prim).  Contract: on a miss t is the UNCHANGED
+    carry min(bt, tmax), NOT a _BIG sentinel — callers detect an
+    improvement via t < bt (strict), never via t < _BIG.
 
     On TPU with lane-aligned leaves this runs the Pallas union-walk
     kernel (with live-first compaction) per ring hop — round-3's gap
@@ -144,6 +148,27 @@ def make_ring_backends(axes, n_shards):
         best_gprim = jnp.full((n,), -1, jnp.int32)
         best_n = jnp.zeros((n, 3), jnp.float32)
         best_mat = jnp.zeros((n,), jnp.int32)
+        if sc.n_spheres:
+            # spheres are REPLICATED (scene_tiling_specs) and analytic,
+            # so resolve them ONCE on the home hop (r==0, before any
+            # rotation) as the ring's initial best — the round-4 scope
+            # guard is gone.  Global sphere id = n_shards*T_loc + j,
+            # above every tiled triangle id (mirrors finalize_hit's
+            # prim >= n_tri_pad convention; never collides with
+            # emit_prim, so MIS sees pdf_light_area = 0, as in the
+            # replicated path).
+            ts, svld = _sph_candidates(sc, od, dd, tn, tx)
+            ts = jnp.where(svld, ts, _BIG)
+            j = jnp.argmin(ts, axis=1).astype(jnp.int32)
+            st = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
+            simp = st < best_t
+            st_safe = jnp.where(simp, st, 1.0)
+            p_s = od + st_safe[:, None] * dd
+            n_s = (p_s - fetch(sc.sph_c, j)) / fetch(sc.sph_r, j)[:, None]
+            best_t = jnp.where(simp, st, best_t)
+            best_gprim = jnp.where(simp, n_shards * T_loc + j, best_gprim)
+            best_n = jnp.where(simp[:, None], n_s, best_n)
+            best_mat = jnp.where(simp, fetch_int(sc.sph_mat, j), best_mat)
         state = (od, dd, tn, tx, best_t, best_gprim, best_n, best_mat)
         for r in range(n_shards):
             od, dd, tn, tx, best_t, best_gprim, best_n, best_mat = state
@@ -188,6 +213,13 @@ def make_ring_backends(axes, n_shards):
         n = o.shape[0]
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         occ = jnp.zeros((n,), bool)
+        if sc.n_spheres:
+            # replicated spheres occlude on the home hop (see
+            # intersect_ring); occluded lanes then ride the ring with
+            # tmax=0 and skip all triangle traversal
+            bt0, _ = _sphere_best(sc, o, d, jnp.zeros((n,), jnp.float32),
+                                  tmax)
+            occ = bt0 < tmax
         state = (o, d, tmax, occ)
         for r in range(n_shards):
             o, d, tmax, occ = state

@@ -44,12 +44,27 @@ def _project(params):
     return out
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _fit_step_single(scene, params, target, cfg, opt, opt_state):
-    def loss_fn(p):
-        from tputracer.integrators.pt import render_pt
+def _render_for(integrator):
+    """Static dispatch of the fit loss's forward renderer.  "bdpt"
+    differentiates through integrators.bdpt.render_bdpt — the t=1
+    segment_sum splat and the MIS ratio chains are plain XLA and carry
+    exact VJPs (tests/unit/test_bdpt_grad.py validates FD-vs-AD)."""
+    if integrator == "bdpt":
+        from tputracer.integrators.bdpt import render_bdpt
 
-        img, _ = render_pt(scene.replace(**p), cfg)
+        return render_bdpt
+    from tputracer.integrators.pt import render_pt
+
+    return render_pt
+
+
+@partial(jax.jit, static_argnums=(3, 4, 6))
+def _fit_step_single(scene, params, target, cfg, opt, opt_state,
+                     integrator="pt"):
+    render = _render_for(integrator)
+
+    def loss_fn(p):
+        img, _ = render(scene.replace(**p), cfg)
         return jnp.mean((img - target) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -58,8 +73,9 @@ def _fit_step_single(scene, params, target, cfg, opt, opt_state):
     return loss, params, opt_state
 
 
-@partial(jax.jit, static_argnums=(3, 4, 6))
-def _fit_chain_single(scene, params, target, cfg, opt, opt_state, n_steps):
+@partial(jax.jit, static_argnums=(3, 4, 6, 7))
+def _fit_chain_single(scene, params, target, cfg, opt, opt_state, n_steps,
+                      integrator="pt"):
     """n_steps fused single-device optimization steps in ONE dispatch.
 
     Same rationale as dist.mesh.fit_chain_sharded: a single fit step is
@@ -69,12 +85,12 @@ def _fit_chain_single(scene, params, target, cfg, opt, opt_state, n_steps):
     chains steps too.  Unrolled (static n_steps): lax.scan with large
     carried render state miscompiles on the axon backend.
     """
-    from tputracer.integrators.pt import render_pt
+    render = _render_for(integrator)
 
     losses = []
     for _ in range(n_steps):
         def loss_fn(p):
-            img, _ = render_pt(scene.replace(**p), cfg)
+            img, _ = render(scene.replace(**p), cfg)
             return jnp.mean((img - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -117,6 +133,7 @@ def fit(
     log_file=None,
     tensorboard_dir=None,
     steps_per_dispatch=8,
+    integrator="pt",
 ):
     """Gradient-descend scene parameters toward a target image.
 
@@ -133,10 +150,21 @@ def fit(
     uninterrupted same-config run bitwise; runs with *different*
     chaining agree only to float-fusion tolerance (XLA fuses a K-step
     program differently from K 1-step programs).
-    """
-    from tputracer.config import RenderConfig
 
-    cfg = cfg or RenderConfig(width=64, height=64, spp=8, max_bounces=3)
+    integrator: "pt" (default) or "bdpt" — which renderer the loss
+    differentiates through.  "bdpt" needs a BdptConfig cfg and is
+    single-device for now (the DP/tiled sharded fit paths are PT;
+    render_bdpt_sharded exists for forward-only sharded BDPT).
+    """
+    from tputracer.config import BdptConfig, RenderConfig
+
+    if integrator == "bdpt":
+        if mesh is not None:
+            raise ValueError("fit(integrator='bdpt') is single-device; "
+                             "drop mesh= or use the PT integrator")
+        cfg = cfg or BdptConfig(width=64, height=64, spp=8, max_bounces=3)
+    else:
+        cfg = cfg or RenderConfig(width=64, height=64, spp=8, max_bounces=3)
     target = jnp.asarray(target, jnp.float32)
     opt = optimizer or optax.adam(learning_rate)
 
@@ -180,11 +208,11 @@ def fit(
             losses = [float(loss)]
         elif k > 1:
             losses, params, opt_state = _fit_chain_single(
-                scene, params, target, cfg, opt, opt_state, k)
+                scene, params, target, cfg, opt, opt_state, k, integrator)
             losses = [float(x) for x in losses]
         else:
             loss, params, opt_state = _fit_step_single(
-                scene, params, target, cfg, opt, opt_state)
+                scene, params, target, cfg, opt, opt_state, integrator)
             losses = [float(loss)]
         for i, lv in enumerate(losses):
             rec = {"step": step + i, "loss": lv}

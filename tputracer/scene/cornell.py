@@ -57,7 +57,8 @@ def _box(lo, hi):
     return tris
 
 
-def cornell_box(variant="boxes", aspect=1.0, light_scale=1.0, pad_to=128):
+def cornell_box(variant="boxes", aspect=1.0, light_scale=1.0, pad_to=128,
+                accel="auto", leaf_size=128):
     """Classic Cornell box in [0,1]^3 (x right, y up, z into the box).
 
     variant:
@@ -66,6 +67,10 @@ def cornell_box(variant="boxes", aspect=1.0, light_scale=1.0, pad_to=128):
       "spheres"      — mirror + glass spheres (config 2)
       "glass_sphere" — boxes replaced by one big glass sphere
       "caustic"      — small bright light + glass sphere (BDPT config 4)
+
+    accel/leaf_size pass through to make_scene: accel="cluster" forces
+    the cluster BVH even at Cornell size (the scene-tiling tests use
+    this to exercise the ring path on a sphere-bearing scene).
     """
     tris = []
     mats = []
@@ -123,6 +128,8 @@ def cornell_box(variant="boxes", aspect=1.0, light_scale=1.0, pad_to=128):
         spheres=spheres,
         camera=cam,
         pad_to=pad_to,
+        accel=accel,
+        leaf_size=leaf_size,
     )
 
 
