@@ -223,31 +223,75 @@ BENCHES = {
 _METRIC = {"inverse": "steps_per_s"}   # default metric: rays_per_s
 
 
-def _check_regressions(out_path, names, tol=0.10):
-    """SURVEY.md §4.6: fail (exit 1) if the freshest run of any config
-    regressed >tol vs the best prior same-mode record in results.jsonl."""
+def _load_records(out_path):
     records = []
     with open(out_path) as fh:
         for line in fh:
             line = line.strip()
             if line:
                 records.append(json.loads(line))
+    return records
+
+
+def _check_regressions(out_path, names, tol=0.10, recent=3):
+    """SURVEY.md §4.6: fail (exit 1) if none of the newest `recent` runs
+    of a config comes within tol of the best prior same-mode record.
+
+    Best-of-recent, not last-only: the axon tunnel is BIMODAL per
+    process (measured round 5: 5x bench.py gave 4 runs at 166-168M and
+    one at 130M — render_s 0.225 vs 0.29; the mode is fixed for a
+    process's lifetime).  A single slow-mode roll is not a regression;
+    a real regression shows up in every recent run.  BASELINE.md
+    records the variance protocol."""
+    records = _load_records(out_path)
     failed = False
     for name in names:
         metric = _METRIC.get(name, "rays_per_s")
         hist = [r for r in records
                 if r.get("bench") == name and not r.get("quick")
-                and metric in r]
+                and metric in r and not r.get("note")]
         if len(hist) < 2:
             print(f"check {name}: no prior record, skipped")
             continue
-        fresh, prior = hist[-1][metric], max(r[metric] for r in hist[:-1])
+        k = min(recent, len(hist) - 1)
+        fresh = max(r[metric] for r in hist[-k:])
+        prior = max(r[metric] for r in hist[:-k])
         ratio = fresh / prior
         verdict = "OK" if ratio >= 1.0 - tol else "REGRESSION"
-        print(f"check {name}: {fresh:.4g} vs best prior {prior:.4g} "
-              f"({ratio:.2%}) {verdict}")
+        print(f"check {name}: best-of-{k}-recent {fresh:.4g} vs best "
+              f"prior {prior:.4g} ({ratio:.2%}) {verdict}")
         failed |= verdict == "REGRESSION"
     return 1 if failed else 0
+
+
+def _outlier_guard(out_path, name, rec, note, factor=3.0):
+    """Round-5 ledger hygiene (round-4 verdict weak #3): refuse to
+    append a record whose metric is >factor off the median of prior
+    same-config records unless it carries a note explaining it.  The
+    6.96M cornell_glass row (25x off, no env, never reproduced) sat in
+    the regression baseline for a round — this makes that impossible."""
+    metric = _METRIC.get(name, "rays_per_s")
+    if metric not in rec:
+        return True
+    try:
+        prior = [r[metric] for r in _load_records(out_path)
+                 if r.get("bench") == name and not r.get("quick")
+                 and metric in r and not r.get("note")]
+    except FileNotFoundError:
+        return True
+    if len(prior) < 2:
+        return True
+    med = float(np.median(prior))
+    v = rec[metric]
+    if med / factor <= v <= med * factor:
+        return True
+    if note:
+        rec["note"] = note
+        return True
+    print(f"REFUSING to append {name}: {metric}={v:.4g} is >{factor}x "
+          f"off the prior median {med:.4g} and no --note was given. "
+          f"Re-run with --note '<explanation>' to record it anyway.")
+    return False
 
 
 def main(argv=None):
@@ -258,6 +302,9 @@ def main(argv=None):
     ap.add_argument("--check", action="store_true",
                     help="after running, exit 1 on >10%% regression vs the "
                          "best prior results.jsonl record per config")
+    ap.add_argument("--note", default=None,
+                    help="annotation recorded with the result; REQUIRED "
+                         "when the metric lands >3x off the prior median")
     args = ap.parse_args(argv)
     names = args.only.split(",") if args.only else list(BENCHES)
     out_path = os.path.join(os.path.dirname(__file__), "results.jsonl")
@@ -273,6 +320,8 @@ def main(argv=None):
             cmd = [sys.executable, "-m", "benchmarks.run", "--only", name]
             if args.quick:
                 cmd.append("--quick")
+            if args.note:
+                cmd += ["--note", args.note]
             subprocess.run(cmd, check=False)
         if args.check:
             raise SystemExit(_check_regressions(out_path, names))
@@ -296,10 +345,12 @@ def main(argv=None):
 
         rec["tile"], rec["sub"] = traverse_tpu.TILE, traverse_tpu.SUB
     rec.update(BENCHES[name](args.quick))
+    ok = _outlier_guard(out_path, name, rec, args.note)
     line = json.dumps(rec)
     print(line, flush=True)
-    with open(out_path, "a") as fh:
-        fh.write(line + "\n")
+    if ok:
+        with open(out_path, "a") as fh:
+            fh.write(line + "\n")
     if args.check:
         raise SystemExit(_check_regressions(out_path, [name]))
 

@@ -262,3 +262,33 @@ def test_pairs_kernel_no_spheres_interpret():
     op = np.asarray(occluded_pairs(scene, o, d, jnp.full((300,), 1.5),
                                    interpret=True))
     np.testing.assert_array_equal(ob, op)
+
+
+def test_bf16_slab_conservative_far_origin(monkeypatch):
+    """Round-5 (advisor): the opt-in bf16 slab's admission guard must
+    stay conservative when |origin| >> |box - origin| — rounding the
+    origin itself to bf16 adds ABSOLUTE error ~|o|*2^-9 that a purely
+    relative guard misses.  Rays from |o| ~ 1000 at a unit-scale scene
+    must still find every brute-force hit."""
+    monkeypatch.setenv("TPUTRACER_SLAB_BF16", "1")
+    from tputracer.accel.traverse_tpu import intersect_pallas
+
+    scene = _random_scene(n_tris=300, n_spheres=0, leaf_size=16, seed=31)
+    r = np.random.default_rng(32)
+    n = 256
+    o_far = r.normal(size=(n, 3))
+    o_far = (o_far / np.linalg.norm(o_far, axis=1, keepdims=True)
+             * 1000.0).astype(np.float32)
+    tgt = r.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = tgt - o_far
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o, d = jnp.asarray(o_far), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 3.0e38)
+    hb = intersect_brute(scene, o, d, tmin, tmax)
+    hp = intersect_pallas(scene, o, d, tmin, tmax, interpret=True)
+    # conservative admission may only ADD visits, never lose a hit
+    v = np.asarray(hb.valid)
+    np.testing.assert_array_equal(np.asarray(hp.valid), v)
+    np.testing.assert_array_equal(np.asarray(hp.prim)[v],
+                                  np.asarray(hb.prim)[v])
