@@ -264,24 +264,38 @@ def _check_regressions(out_path, names, tol=0.10, recent=3):
     return 1 if failed else 0
 
 
+# record keys that define the measurement protocol: records disagreeing
+# on any of these are not comparable (e.g. the pre-round-4 inverse rows
+# measured single-step dispatch at ~29 steps/s vs chained-8's ~200 — the
+# guard must not read that protocol change as an outlier)
+_PROTOCOL_KEYS = ("steps_per_dispatch", "tile", "sub", "n_tris",
+                  "n_shards", "env")
+
+
+def _same_protocol(a, b):
+    return all(a.get(k) == b.get(k) for k in _PROTOCOL_KEYS)
+
+
 def _outlier_guard(out_path, name, rec, note, factor=3.0):
     """Round-5 ledger hygiene (round-4 verdict weak #3): refuse to
     append a record whose metric is >factor off the median of prior
-    same-config records unless it carries a note explaining it.  The
-    6.96M cornell_glass row (25x off, no env, never reproduced) sat in
-    the regression baseline for a round — this makes that impossible."""
+    same-config, same-protocol records unless it carries a note
+    explaining it.  The 6.96M cornell_glass row (25x off, no env, never
+    reproduced) sat in the regression baseline for a round — this makes
+    that impossible."""
     metric = _METRIC.get(name, "rays_per_s")
     if metric not in rec:
         return True
     try:
         prior = [r[metric] for r in _load_records(out_path)
                  if r.get("bench") == name and not r.get("quick")
-                 and metric in r and not r.get("note")]
+                 and metric in r and not r.get("note")
+                 and _same_protocol(r, rec)]
     except FileNotFoundError:
         return True
     if len(prior) < 2:
         return True
-    med = float(np.median(prior))
+    med = float(np.median(prior[-5:]))   # recency window: current-code era
     v = rec[metric]
     if med / factor <= v <= med * factor:
         return True

@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--out", default="out.png")
     ap.add_argument("--profile", default=None,
                     help="dump a jax profiler trace to this directory")
+    ap.add_argument("--tiled", action="store_true",
+                    help="shard the GEOMETRY over all visible devices "
+                         "(dist.scene_shard ring traversal) instead of "
+                         "replicating it — for scenes that outgrow one "
+                         "device's memory; pt only, clustered scenes only")
     args = ap.parse_args(argv)
 
     from tputracer.config import BdptConfig, RenderConfig
@@ -51,11 +56,24 @@ def main(argv=None):
         scene = cornell_box(args.scene)
 
     if args.integrator == "pt":
-        from tputracer.api import render as run
         cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
                            max_bounces=args.bounces, seed=args.seed,
                            mis=args.mis)
+        if args.tiled:
+            import jax
+
+            from tputracer.dist import make_mesh, render_tiled
+
+            mesh = make_mesh((len(jax.devices()),), ("dp",))
+
+            def run(scene, cfg):
+                return render_tiled(scene, cfg, mesh)
+        else:
+            from tputracer.api import render as run
     else:
+        if args.tiled:
+            raise SystemExit("--tiled is pt-only (BDPT shards rays, not "
+                             "geometry — use the DP render_bdpt_sharded)")
         from tputracer.api import render_bdpt as run
         cfg = BdptConfig(width=args.size, height=args.size, spp=args.spp,
                          max_bounces=args.bounces, seed=args.seed)

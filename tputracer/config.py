@@ -44,6 +44,9 @@ class RenderConfig:
                                   # backend's compile scaling improves;
                                   # correctness stays covered by
                                   # tests/unit/test_grad.py remat tests.
+                                  # Retry trigger tracked in
+                                  # benchmarks/experiments/README.md
+                                  # ("toolchain-blocked retries").
     # PP analogue (bounce-stage pipelining, SURVEY.md §2 PP row):
     # REJECTED with data, round 4 (benchmarks/experiments/_exp_pp.py).
     # Within a chip: chained traversal-kernel pairs with NO data
