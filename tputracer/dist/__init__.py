@@ -1,5 +1,7 @@
 from tputracer.dist.mesh import (  # noqa: F401
+    fit_chain_bdpt_sharded,
     fit_chain_sharded,
+    fit_step_bdpt_sharded,
     fit_step_opt_sharded,
     fit_step_sharded,
     make_mesh,

@@ -141,6 +141,87 @@ def render_bdpt_sharded(scene, cfg, mesh):
 
 
 @partial(jax.jit, static_argnums=(3, 4))
+def _fit_step_bdpt_jit(scene, params, target, cfg, mesh):
+    from tputracer.integrators.bdpt import trace_bdpt_rows
+
+    axes = mesh.axis_names
+    n_shards = int(np.prod(mesh.devices.shape))
+    rows_per = _check_divisible(cfg, n_shards)
+    n_total = cfg.width * cfg.height * cfg.spp
+    denom = jnp.float32(cfg.height * cfg.width * 3)
+
+    def shard_loss(scene, params, uids, tgt_rows):
+        def loss_fn(p):
+            sc = scene.replace(**p)
+            L_own, splat = trace_bdpt_rows(sc, uids, cfg)
+            img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
+            # the t=1 splat film couples shards (my light subpaths land
+            # on everyone's rows), so the backward must flow THROUGH
+            # the collective: lax.psum's transpose is psum, which is
+            # exactly the cross-shard cotangent sum the coupling needs
+            # (validated against single-device BDPT grads in
+            # tests/distributed/test_sharded_bdpt_fit.py)
+            splat = jax.lax.psum(splat, axes)
+            i = jnp.int32(0)
+            for ax in axes:
+                i = i * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+            rows = jax.lax.dynamic_slice(
+                splat.reshape(cfg.height, cfg.width, 3),
+                (i * rows_per, 0, 0), (rows_per, cfg.width, 3))
+            img = img + rows / jnp.float32(n_total)
+            return jnp.sum((img - tgt_rows) ** 2) / denom
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, axes)
+        grads = jax.lax.psum(grads, axes)
+        return loss, grads
+
+    uids = jnp.arange(n_total, dtype=jnp.uint32)
+    f = shard_map(
+        shard_loss,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(_replicated(scene), _replicated(params), P(axes), P(axes)),
+        out_specs=(P(), _replicated(params)),
+    )
+    return f(scene, params, uids, target[::-1])
+
+
+def fit_step_bdpt_sharded(scene, params, target, cfg, mesh):
+    """One inverse-rendering step with the BIDIRECTIONAL integrator,
+    rays DP-sharded over the mesh (round-5: closes the 'BDPT fit is
+    single-device' scope note with code).  cfg is a BdptConfig; returns
+    (loss, grads), grads psum-ed over every mesh axis.  Matches the
+    single-device BDPT loss/grads to float tolerance."""
+    return _fit_step_bdpt_jit(scene, params, target, cfg, mesh)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 7))
+def _fit_chain_bdpt_jit(scene, params, target, cfg, mesh, opt, opt_state,
+                        n_steps):
+    import optax
+
+    from tputracer.fit import _project
+
+    losses = []
+    for _ in range(n_steps):
+        sc = scene.replace(**params)
+        loss, grads = _fit_step_bdpt_jit(sc, params, target, cfg, mesh)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = _project(optax.apply_updates(params, updates))
+        losses.append(loss)
+    return jnp.stack(losses), params, opt_state
+
+
+def fit_chain_bdpt_sharded(scene, params, target, cfg, mesh, opt,
+                           opt_state, n_steps):
+    """n_steps fused BDPT optimization steps in ONE dispatch (same
+    tunnel-latency rationale as fit_chain_sharded)."""
+    return _fit_chain_bdpt_jit(scene, params, target, cfg, mesh, opt,
+                               opt_state, n_steps)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
 def _fit_step_jit(scene, params, target, cfg, mesh):
     axes = mesh.axis_names
     n_shards = int(np.prod(mesh.devices.shape))

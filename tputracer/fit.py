@@ -152,16 +152,14 @@ def fit(
     program differently from K 1-step programs).
 
     integrator: "pt" (default) or "bdpt" — which renderer the loss
-    differentiates through.  "bdpt" needs a BdptConfig cfg and is
-    single-device for now (the DP/tiled sharded fit paths are PT;
-    render_bdpt_sharded exists for forward-only sharded BDPT).
+    differentiates through.  "bdpt" needs a BdptConfig cfg; with mesh=
+    it runs rays-DP-sharded (dist.mesh.fit_step_bdpt_sharded: the t=1
+    splat coupling backpropagates through the splat psum, validated
+    against single-device grads).
     """
     from tputracer.config import BdptConfig, RenderConfig
 
     if integrator == "bdpt":
-        if mesh is not None:
-            raise ValueError("fit(integrator='bdpt') is single-device; "
-                             "drop mesh= or use the PT integrator")
         cfg = cfg or BdptConfig(width=64, height=64, spp=8, max_bounces=3)
     else:
         cfg = cfg or RenderConfig(width=64, height=64, spp=8, max_bounces=3)
@@ -177,7 +175,9 @@ def fit(
             checkpoint_path, params, opt_state)
 
     if mesh is not None:
-        from tputracer.dist import fit_chain_sharded, fit_step_opt_sharded
+        from tputracer.dist import (fit_chain_bdpt_sharded,
+                                    fit_chain_sharded,
+                                    fit_step_opt_sharded)
 
     history = []
     logf = open(log_file, "a") if log_file else None
@@ -198,7 +198,11 @@ def fit(
         if checkpoint_path and checkpoint_every:
             nxt = (step // checkpoint_every + 1) * checkpoint_every
             k = min(k, nxt - step)
-        if mesh is not None and k > 1:
+        if mesh is not None and integrator == "bdpt":
+            losses, params, opt_state = fit_chain_bdpt_sharded(
+                scene, params, target, cfg, mesh, opt, opt_state, k)
+            losses = [float(x) for x in losses]
+        elif mesh is not None and k > 1:
             losses, params, opt_state = fit_chain_sharded(
                 sc, params, target, cfg, mesh, opt, opt_state, k)
             losses = [float(x) for x in losses]
