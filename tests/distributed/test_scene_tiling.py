@@ -125,3 +125,39 @@ def test_tiled_fit_step_matches_replicated(scene):
         np.testing.assert_allclose(np.asarray(grads_t2[k]),
                                    np.asarray(grads_r[k]),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_tiled_bdpt_matches_plain(scene):
+    """Round-5: geometry-tiled BDPT — both subpath walks, connection
+    shadow rays and t=1 splat occlusion traverse via the ring; the film
+    must match single-device render_bdpt to float tolerance."""
+    from tputracer.config import BdptConfig
+    from tputracer.dist import render_bdpt_tiled
+    from tputracer.integrators.bdpt import render_bdpt
+
+    cfg = BdptConfig(width=16, height=16, spp=2, max_bounces=3,
+                     chunk_size=16 * 16 * 2)
+    ref, _ = render_bdpt(scene, cfg)
+    mesh = make_mesh((8,), ("dp",))
+    img = render_bdpt_tiled(scene, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_tiled_bdpt_with_spheres(scene):
+    """Tiled BDPT on a sphere-bearing clustered scene (caustic-class
+    content: glass sphere = delta chains through the ring Hit path)."""
+    from tputracer.config import BdptConfig
+    from tputracer.dist import render_bdpt_tiled
+    from tputracer.integrators.bdpt import render_bdpt
+    from tputracer.scene import cornell_box
+
+    sc = cornell_box("caustic", accel="cluster", leaf_size=4)
+    assert sc.n_spheres == 1 and sc.n_clusters > 0
+    cfg = BdptConfig(width=16, height=16, spp=2, max_bounces=3,
+                     chunk_size=16 * 16 * 2)
+    ref, _ = render_bdpt(sc, cfg)
+    mesh = make_mesh((8,), ("dp",))
+    img = render_bdpt_tiled(sc, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)

@@ -8,5 +8,6 @@ from tputracer.dist.mesh import (  # noqa: F401
     render_bdpt_sharded,
     render_sharded,
 )
-from tputracer.dist.scene_shard import render_tiled  # noqa: F401
+from tputracer.dist.scene_shard import (render_bdpt_tiled,  # noqa: F401
+                                        render_tiled)
 from tputracer.dist.bdpt_ring import render_bdpt_ring  # noqa: F401

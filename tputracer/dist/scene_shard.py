@@ -311,6 +311,57 @@ def render_tiled(scene, cfg, mesh):
     return _render_tiled_jit(scene, cfg, mesh)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _render_bdpt_tiled_jit(scene, cfg, mesh):
+    from tputracer.integrators.bdpt import trace_bdpt_rows
+
+    axes = mesh.axis_names
+    n_shards = int(np.prod(mesh.devices.shape))
+    rows_per = cfg.height // n_shards
+    if rows_per * n_shards != cfg.height:
+        raise ValueError("height must divide the mesh size")
+    n_total = cfg.width * cfg.height * cfg.spp
+    scene = pad_scene_clusters(scene, n_shards)
+    isect, occl = make_ring_backends(axes, n_shards)
+
+    def shard_body(scene_loc, uids):
+        L_own, splat = trace_bdpt_rows(scene_loc, uids, cfg,
+                                       intersect_fn=isect,
+                                       occluded_fn=occl)
+        img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
+        # t=1 splats land on arbitrary pixels: all-reduce over the mesh,
+        # keep own rows (same contract as dist.mesh.render_bdpt_sharded)
+        splat = lax.psum(splat, axes)
+        i = jnp.int32(0)
+        for ax in axes:
+            i = i * lax.axis_size(ax) + lax.axis_index(ax)
+        rows = lax.dynamic_slice(
+            splat.reshape(cfg.height, cfg.width, 3),
+            (i * rows_per, 0, 0), (rows_per, cfg.width, 3))
+        return img + rows / jnp.float32(n_total)
+
+    uids = jnp.arange(n_total, dtype=jnp.uint32)
+    f = shard_map(
+        shard_body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(scene_tiling_specs(scene, axes), P(axes)),
+        out_specs=P(axes),
+    )
+    return f(scene, uids)[::-1]
+
+
+def render_bdpt_tiled(scene, cfg, mesh):
+    """Full-frame BDPT render with the GEOMETRY tiled over the mesh
+    (round-5): eye and light subpath walks, connection shadow rays and
+    t=1 splat occlusion all traverse via the ring backends, so BDPT
+    scales to scenes that outgrow one device — the last integrator x
+    parallelism-mode combination.  Matches api.render_bdpt (identical
+    hits, uid-keyed RNG; splat reduction order differs in the last
+    ulp)."""
+    return _render_bdpt_tiled_jit(scene, cfg, mesh)
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def _fit_step_tiled_jit(scene, params, target, cfg, mesh):
     axes = mesh.axis_names

@@ -96,7 +96,7 @@ def _camera_pdf_sa(cam, d):
 
 
 def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
-          transport_radiance, start_p=None):
+          transport_radiance, start_p=None, isect=None):
     """Random walk of up to n_verts surface vertices; returns vertex list.
 
     Each vertex is a dict of (N,)-leading SoA arrays:
@@ -107,6 +107,7 @@ def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
       pdf_rev the same way.
     """
     n = o.shape[0]
+    isect = intersect if isect is None else isect
     zeros1 = jnp.zeros((n,), jnp.float32)
     eps = jnp.float32(scene.eps)
     prev_p = o if start_p is None else start_p
@@ -114,8 +115,8 @@ def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
     alive = jnp.ones((n,), bool)
     verts = []
     for i in range(n_verts):
-        hit = intersect(scene, o, d, tmin=zeros1,
-                              tmax=jnp.full((n,), _BIG))
+        hit = isect(scene, o, d, tmin=zeros1,
+                    tmax=jnp.full((n,), _BIG))
         valid = alive & hit.valid
         pdf_fwd = _convert_density(pdf_sa, prev_p, hit.p, hit.n)
         kind = fetch_int(scene.mat_kind, hit.mat)
@@ -246,7 +247,7 @@ def _mis_weight(scene, cam, ys, zs, s, t, power=False):
     return 1.0 / (1.0 + sum_ri)
 
 
-def eye_subpaths(scene, uid, cfg):
+def eye_subpaths(scene, uid, cfg, isect=None):
     """Camera vertex + wavefront eye walk -> vertex SoA list zs."""
     n = uid.shape[0]
     cam = scene.camera
@@ -267,10 +268,11 @@ def eye_subpaths(scene, uid, cfg):
     )
     return [cam_v] + _walk(
         scene, o, d, jnp.ones((n, 3), jnp.float32), _camera_pdf_sa(cam, d),
-        uid, cfg, E, rng.SLOT_BSDF, origin=None, transport_radiance=True)
+        uid, cfg, E, rng.SLOT_BSDF, origin=None, transport_radiance=True,
+        isect=isect)
 
 
-def light_subpaths(scene, uid, cfg):
+def light_subpaths(scene, uid, cfg, isect=None):
     """Emitter sample + importance-transport walk -> vertex SoA list ys."""
     n = uid.shape[0]
     eps = jnp.float32(scene.eps)
@@ -295,7 +297,7 @@ def light_subpaths(scene, uid, cfg):
     return [y0] + _walk(
         scene, yp + n_l * eps, d0, y0["beta"] * _PI, pdf_d0,
         uid, cfg, E, rng.SLOT_LBSDF, origin=y0,
-        transport_radiance=False, start_p=yp)
+        transport_radiance=False, start_p=yp, isect=isect)
 
 
 def s0_radiance(scene, cfg, zs):
@@ -317,12 +319,13 @@ def s0_radiance(scene, cfg, zs):
     return L_own
 
 
-def connection_radiance(scene, cfg, ys, zs):
+def connection_radiance(scene, cfg, ys, zs, occl=None):
     """s>=1, t>=2 vertex-connection strategies: one masked batch + one
     shadow-ray batch per (s, t).  ys and zs may come from DIFFERENT path
     sets (the ring-sharded renderer pairs each eye subpath with rotated
     light-subpath blocks — SURVEY.md §2 SP row)."""
     cam = scene.camera
+    occl = occluded if occl is None else occl
     eps = jnp.float32(scene.eps)
     n = zs[0]["pdf_fwd"].shape[0]
     V = cfg.max_bounces + 2
@@ -350,7 +353,7 @@ def connection_radiance(scene, cfg, ys, zs):
                     & jnp.logical_not(y["delta"])
                     & (jnp.max(c, axis=-1) > 0.0))
             o_s = z["p"] + g.face_forward(z["ng"], d_zy) * eps
-            occ = occluded(scene, o_s, d_zy, tmax=dist * (1.0 - 1e-3))
+            occ = occl(scene, o_s, d_zy, tmax=dist * (1.0 - 1e-3))
             mask = mask & jnp.logical_not(occ)
             w = _mis_weight(scene, cam, ys, zs, s, t,
                             power=cfg.mis_power)
@@ -358,12 +361,13 @@ def connection_radiance(scene, cfg, ys, zs):
     return L_own
 
 
-def t1_splats(scene, cfg, ys, zs):
+def t1_splats(scene, cfg, ys, zs, occl=None):
     """t=1 light-tracing strategies: splat light-subpath vertices through
     the pinhole onto the film (segment_sum scatter).  Depends only on the
     light subpath (zs supplies just the shared camera vertex for the MIS
     chain).  Returns (H*W, 3) in uid pixel layout (row 0 = bottom)."""
     cam = scene.camera
+    occl = occluded if occl is None else occl
     w_fwd = _camera_forward(cam)
     n = ys[0]["pdf_fwd"].shape[0]
     V = cfg.max_bounces + 2
@@ -400,7 +404,7 @@ def t1_splats(scene, cfg, ys, zs):
         c = y["beta"] * f_y * (imp * cos_y / dist2)[:, None]
         mask = (y["valid"] & jnp.logical_not(y["delta"]) & on_film
                 & (jnp.max(c, axis=-1) > 0.0))
-        occ = occluded(
+        occ = occl(
             scene, jnp.broadcast_to(cam.o[None, :], (n, 3)), d_cy,
             tmax=dist * (1.0 - 1e-3))
         mask = mask & jnp.logical_not(occ)
@@ -413,22 +417,28 @@ def t1_splats(scene, cfg, ys, zs):
     return splat
 
 
-def trace_bdpt(scene, uid, cfg):
+def trace_bdpt(scene, uid, cfg, intersect_fn=None, occluded_fn=None):
     """BDPT radiance for a chunk of paths.
 
     Returns (L_own (n,3) per-path radiance for t>=2 strategies,
              splat (H*W, 3) film scatter from t=1 light tracing — in uid
              pixel layout (row 0 = bottom), NOT yet divided by the global
              path count).
+
+    intersect_fn / occluded_fn: optional traversal backends with the
+    accel.intersect / accel.occluded signatures — the geometry-tiled
+    renderer (dist.scene_shard.render_bdpt_tiled) plugs its ring
+    traversal in here, exactly like integrators.pt.trace_radiance.
     """
-    zs = eye_subpaths(scene, uid, cfg)
-    ys = light_subpaths(scene, uid, cfg)
+    zs = eye_subpaths(scene, uid, cfg, isect=intersect_fn)
+    ys = light_subpaths(scene, uid, cfg, isect=intersect_fn)
     L_own = s0_radiance(scene, cfg, zs) + connection_radiance(
-        scene, cfg, ys, zs)
-    return L_own, t1_splats(scene, cfg, ys, zs)
+        scene, cfg, ys, zs, occl=occluded_fn)
+    return L_own, t1_splats(scene, cfg, ys, zs, occl=occluded_fn)
 
 
-def trace_bdpt_rows(scene, uids, cfg, rows_budget=None):
+def trace_bdpt_rows(scene, uids, cfg, rows_budget=None,
+                    intersect_fn=None, occluded_fn=None):
     """Trace a contiguous uid range in row-aligned chunks.
 
     Returns (L_own (n,3) in uid order, splat (H*W,3) film scatter).
@@ -448,7 +458,9 @@ def trace_bdpt_rows(scene, uids, cfg, rows_budget=None):
     L_parts, splat_sum = [], jnp.zeros(
         (cfg.width * cfg.height, 3), jnp.float32)
     for i in range(n // chunk):
-        L, sp = trace_bdpt(scene, uids[i * chunk:(i + 1) * chunk], cfg)
+        L, sp = trace_bdpt(scene, uids[i * chunk:(i + 1) * chunk], cfg,
+                           intersect_fn=intersect_fn,
+                           occluded_fn=occluded_fn)
         L_parts.append(L)
         splat_sum = splat_sum + sp
     return jnp.concatenate(L_parts, axis=0), splat_sum
