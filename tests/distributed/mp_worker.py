@@ -33,7 +33,8 @@ import numpy as np  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", required=True, choices=["render", "fit"])
+    ap.add_argument("--mode", required=True,
+                    choices=["render", "fit", "bdpt_fit"])
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
@@ -66,6 +67,29 @@ def main():
         mean = float(jnp.mean(img))   # replicated scalar: local read
         print(json.dumps({"mode": "render", "pid": args.process_id,
                           "mean": mean}), flush=True)
+        return
+
+    if args.mode == "bdpt_fit":
+        # round-5: one sharded BDPT fit step on the real 2-process
+        # cluster — the t=1 splat psum crosses the process boundary in
+        # both the forward and the backward pass
+        from tputracer.config import BdptConfig
+        from tputracer.dist import fit_step_bdpt_sharded, \
+            render_bdpt_sharded
+
+        bcfg = BdptConfig(width=16, height=16, spp=2, max_bounces=2,
+                          chunk_size=16 * 16 * 2)
+        target = render_bdpt_sharded(scene_g, bcfg, mesh)
+        params = {"mat_albedo": scene.mat_albedo * 0.6}
+        params = replicate_global(params, mesh)
+        loss, grads = fit_step_bdpt_sharded(
+            scene_g.replace(**params), params, target, bcfg, mesh)
+        print(json.dumps({
+            "mode": "bdpt_fit", "pid": args.process_id,
+            "loss": float(loss),
+            "grad_sum": float(sum(jnp.sum(g)
+                                  for g in jax.tree.leaves(grads))),
+        }), flush=True)
         return
 
     # ---- fit with per-step checkpointing + optional crash ----

@@ -115,3 +115,38 @@ def test_multiprocess_fit_fault_drill(tmp_path):
         np.testing.assert_allclose(resumed[s], ref[s], rtol=1e-5,
                                    err_msg=f"step {s}")
     np.testing.assert_allclose(res_final, ref_final, rtol=1e-6)
+
+
+def test_multiprocess_bdpt_fit_matches_in_process():
+    """Round-5: the sharded BDPT fit step on a REAL 2-process cluster —
+    the splat psum and the gradient psum cross the process boundary —
+    must agree across processes and match the in-process 8-device
+    result (placement-invariant RNG)."""
+    outs = _run_cluster("bdpt_fit")
+    for rc, _, err in outs:
+        assert rc == 0, err[-2000:]
+    recs = [r for rc, out, _ in outs for r in _parse(out)
+            if r["mode"] == "bdpt_fit"]
+    assert len(recs) == 2
+    assert recs[0]["loss"] == recs[1]["loss"]
+    assert recs[0]["grad_sum"] == recs[1]["grad_sum"]
+
+    # in-process reference on this test's own 8 virtual devices
+    import jax.numpy as jnp
+
+    from tputracer.config import BdptConfig
+    from tputracer.dist import (fit_step_bdpt_sharded, make_mesh,
+                                render_bdpt_sharded)
+    from tputracer.scene import cornell_box
+
+    scene = cornell_box("boxes")
+    bcfg = BdptConfig(width=16, height=16, spp=2, max_bounces=2,
+                      chunk_size=16 * 16 * 2)
+    mesh = make_mesh((8,), ("dp",))
+    target = render_bdpt_sharded(scene, bcfg, mesh)
+    params = {"mat_albedo": scene.mat_albedo * 0.6}
+    loss, grads = fit_step_bdpt_sharded(
+        scene.replace(**params), params, target, bcfg, mesh)
+    np.testing.assert_allclose(recs[0]["loss"], float(loss), rtol=1e-6)
+    gs = float(sum(jnp.sum(g) for g in grads.values()))
+    np.testing.assert_allclose(recs[0]["grad_sum"], gs, rtol=1e-5)
