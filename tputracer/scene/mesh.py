@@ -142,14 +142,136 @@ def mesh_scene(subdiv=6, leaf_size=128, accel="auto", light_scale=1.0):
                       accel=accel, leaf_size=leaf_size)
 
 
-def obj_scene(source, materials=None, mat_id=0, camera=None, **kw):
-    """Build a renderable Scene straight from an OBJ source (file/string)."""
-    tv = load_obj(source)
-    mats = np.full((tv.shape[0],), mat_id, np.int32)
-    materials = materials or [
-        {"kind": DIFFUSE, "albedo": (0.7, 0.7, 0.7)},
-        {"kind": DIFFUSE, "albedo": (0, 0, 0), "emission": (15.0, 15.0, 15.0)},
-    ]
+def load_mtl(source):
+    """Minimal .mtl parser -> {name: material dict} (round-5: material-
+    aware OBJ loading, SURVEY.md §2 row 11 "scene loader").
+
+    Mapping to the three BSDF families (BASELINE north_star):
+      Ke > 0                        -> emissive diffuse (area light)
+      illum 6/7, or Ni > 1.01 with transparency (d < 1 / Tr > 0)
+                                    -> GLASS (ior = Ni)
+      illum 3/5                     -> MIRROR (albedo = Ks)
+      otherwise                     -> DIFFUSE (albedo = Kd)
+    """
+    from tputracer.scene.types import GLASS, MIRROR
+
+    if "\n" in source or "\r" in source:
+        lines = source.splitlines()
+    else:
+        with open(source) as fh:
+            lines = fh.read().splitlines()
+    mats, cur = {}, None
+    for line in lines:
+        parts = line.split()
+        if not parts or parts[0].startswith("#"):
+            continue
+        key = parts[0]
+        if key == "newmtl":
+            cur = {"Kd": (0.7, 0.7, 0.7), "Ks": (0.9, 0.9, 0.9),
+                   "Ke": (0.0, 0.0, 0.0), "Ni": 1.0, "d": 1.0,
+                   "illum": 2}
+            mats[parts[1]] = cur
+        elif cur is None:
+            continue
+        elif key in ("Kd", "Ks", "Ke"):
+            cur[key] = tuple(float(x) for x in parts[1:4])
+        elif key == "Ni":
+            cur["Ni"] = float(parts[1])
+        elif key == "d":
+            cur["d"] = float(parts[1])
+        elif key == "Tr":
+            cur["d"] = 1.0 - float(parts[1])
+        elif key == "illum":
+            cur["illum"] = int(parts[1])
+
+    out = {}
+    for name, m in mats.items():
+        if any(c > 0.0 for c in m["Ke"]):
+            out[name] = {"kind": DIFFUSE, "albedo": (0, 0, 0),
+                         "emission": m["Ke"]}
+        elif m["illum"] in (6, 7) or (m["Ni"] > 1.01 and m["d"] < 1.0):
+            out[name] = {"kind": GLASS, "albedo": (1.0, 1.0, 1.0),
+                         "ior": max(m["Ni"], 1.01)}
+        elif m["illum"] in (3, 5):
+            out[name] = {"kind": MIRROR, "albedo": m["Ks"]}
+        else:
+            out[name] = {"kind": DIFFUSE, "albedo": m["Kd"]}
+    return out
+
+
+def load_obj_with_materials(source, mtl_source=None):
+    """OBJ parser with usemtl/mtllib support.
+
+    source: file path or OBJ text; mtl_source: optional .mtl path/text
+    (overrides mtllib).  For a file path, mtllib names resolve relative
+    to the OBJ's directory.  Returns (tv (T,3,3), tri_mat (T,), materials
+    list) ready for make_scene; faces before any usemtl get a default
+    grey diffuse.
+    """
+    import os as _os
+
+    if "\n" in source or "\r" in source:
+        lines = source.splitlines()
+        base = "."
+    else:
+        with open(source) as fh:
+            lines = fh.read().splitlines()
+        base = _os.path.dirname(_os.path.abspath(source))
+    mtl = {}
+    if mtl_source is not None:
+        mtl = load_mtl(mtl_source)
+
+    verts, tris, tri_mat = [], [], []
+    materials = [{"kind": DIFFUSE, "albedo": (0.7, 0.7, 0.7)}]
+    name_to_id = {}
+    cur_id = 0
+    for line in lines:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "mtllib" and mtl_source is None:
+            path = _os.path.join(base, parts[1])
+            if _os.path.exists(path):
+                mtl.update(load_mtl(path))
+        elif parts[0] == "usemtl":
+            name = parts[1]
+            if name not in name_to_id:
+                materials.append(mtl.get(
+                    name, {"kind": DIFFUSE, "albedo": (0.7, 0.7, 0.7)}))
+                name_to_id[name] = len(materials) - 1
+            cur_id = name_to_id[name]
+        elif parts[0] == "v":
+            verts.append([float(x) for x in parts[1:4]])
+        elif parts[0] == "f":
+            idx = [int(p.split("/")[0]) for p in parts[1:]]
+            idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+            for k in range(1, len(idx) - 1):
+                tris.append((idx[0], idx[k], idx[k + 1]))
+                tri_mat.append(cur_id)
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(tris, np.int64)
+    return v[f], np.asarray(tri_mat, np.int32), materials
+
+
+def obj_scene(source, materials=None, mat_id=0, camera=None,
+              mtl_source=None, **kw):
+    """Build a renderable Scene straight from an OBJ source (file/string).
+
+    With materials=None the OBJ's own mtllib/usemtl statements drive
+    material assignment (load_obj_with_materials); pass an explicit
+    materials list + mat_id to override with a uniform material."""
     camera = camera or make_camera(o=(0, 0.5, -3.0), look_at=(0, 0, 0),
                                    up=(0, 1, 0), vfov_deg=40.0, aspect=1.0)
+    if materials is None:
+        tv, mats, materials = load_obj_with_materials(
+            source, mtl_source=mtl_source)
+        if len(materials) == 1:     # no usemtl: keep the legacy default
+            materials = [
+                {"kind": DIFFUSE, "albedo": (0.7, 0.7, 0.7)},
+                {"kind": DIFFUSE, "albedo": (0, 0, 0),
+                 "emission": (15.0, 15.0, 15.0)},
+            ]
+        return make_scene(tv, mats, materials, camera=camera, **kw)
+    tv = load_obj(source)
+    mats = np.full((tv.shape[0],), mat_id, np.int32)
     return make_scene(tv, mats, materials, camera=camera, **kw)
