@@ -56,36 +56,35 @@ def _progressive_pass_jit(scene, offset, step, cfg):
     return L.reshape(cfg.height, cfg.width, step, 3).sum(axis=2)
 
 
-def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
-                       checkpoint_path=None, resume=True, callback=None):
-    """Accumulate cfg.spp in passes with film checkpointing (SURVEY.md §5
-    "checkpoint/resume": film + sample count persist; resume adds the
-    REMAINING spp and reproduces the single-shot render exactly).
-
-    Per-pass path uids are the same global ids the single-shot render
-    would use (uid = pixel * cfg.spp + sample), so the counter-based RNG
-    makes pass-splitting invisible: the accumulated film is bitwise the
-    mean of the same per-path radiances, whatever spp_per_pass or how
-    often the job died.  Returns (image (H,W,3) row-0-top, spp_done).
-    """
-    import os
+def _ckpt_ident(scene, cfg):
+    """Checkpoint identity: a stale film from a different render must
+    never silently blend in — resume only on a full scene/config/seed
+    match.  (hashlib, not hash(): bytes hashing is PYTHONHASHSEED-salted
+    and would differ across processes, breaking every resume.)"""
+    import hashlib
 
     import numpy as np
-
-    # checkpoint identity: a stale film from a different render must never
-    # silently blend in — resume only on a full scene/config/seed match.
-    # (hashlib, not hash(): bytes hashing is PYTHONHASHSEED-salted and
-    # would differ across processes, breaking every resume.)
-    import hashlib
 
     dig = hashlib.sha256()
     for leaf in jax.tree.leaves(scene):
         dig.update(np.asarray(leaf).tobytes())
     scene_hash = int.from_bytes(dig.digest()[:6], "little")
-    ident = np.array(
+    return np.array(
         [cfg.width, cfg.height, cfg.spp, cfg.seed, cfg.max_bounces,
          scene_hash], np.int64)
 
+
+def _progressive_loop(scene, cfg, pass_fn, spp_per_pass, checkpoint_path,
+                      resume, callback):
+    """Shared pass/accumulate/checkpoint loop for PT + BDPT progressive.
+
+    pass_fn(offset (1,), step) -> (H,W,3) film-sum contribution of
+    samples [offset, offset+step) per pixel, in uid-row order."""
+    import os
+
+    import numpy as np
+
+    ident = _ckpt_ident(scene, cfg)
     film = np.zeros((cfg.height, cfg.width, 3), np.float32)  # uid-row order
     done = 0
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
@@ -99,8 +98,7 @@ def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
 
     while done < cfg.spp:
         step = min(spp_per_pass, cfg.spp - done)
-        part = _progressive_pass_jit(
-            scene, jnp.full((1,), done, jnp.uint32), step, cfg)
+        part = pass_fn(jnp.full((1,), done, jnp.uint32), step)
         film = film + np.asarray(part)
         done += step
         if checkpoint_path:
@@ -108,6 +106,56 @@ def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
         if callback:
             callback(done, film[::-1] / max(done, 1))
     return film[::-1] / max(done, 1), done
+
+
+def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
+                       checkpoint_path=None, resume=True, callback=None):
+    """Accumulate cfg.spp in passes with film checkpointing (SURVEY.md §5
+    "checkpoint/resume": film + sample count persist; resume adds the
+    REMAINING spp and reproduces the single-shot render exactly).
+
+    Per-pass path uids are the same global ids the single-shot render
+    would use (uid = pixel * cfg.spp + sample), so the counter-based RNG
+    makes pass-splitting invisible: the accumulated film is bitwise the
+    mean of the same per-path radiances, whatever spp_per_pass or how
+    often the job died.  Returns (image (H,W,3) row-0-top, spp_done).
+    """
+    return _progressive_loop(
+        scene, cfg,
+        lambda off, step: _progressive_pass_jit(scene, off, step, cfg),
+        spp_per_pass, checkpoint_path, resume, callback)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _progressive_bdpt_pass_jit(scene, offset, step, cfg):
+    from tputracer.integrators.bdpt import trace_bdpt
+
+    n_pix = cfg.width * cfg.height
+    pix = jnp.arange(n_pix, dtype=jnp.uint32)[:, None]
+    uid = (pix * cfg.spp + offset[0]
+           + jnp.arange(step, dtype=jnp.uint32)[None, :]).ravel()
+    L_own, splat = trace_bdpt(scene, uid, cfg)
+    own = L_own.reshape(cfg.height, cfg.width, step, 3).sum(axis=2)
+    # single-shot film = L_sum/spp + splat_sum/(n_pix*spp)
+    #                  = (L_sum + splat_sum/n_pix) / spp — so each pass
+    # contributes its splat scaled by 1/n_pix into the same accumulator
+    return own + splat.reshape(cfg.height, cfg.width, 3) / jnp.float32(n_pix)
+
+
+def render_bdpt_progressive(scene, cfg: BdptConfig, spp_per_pass=4,
+                            checkpoint_path=None, resume=True,
+                            callback=None):
+    """Progressive BDPT (round-5): same pass/checkpoint/resume contract
+    as render_progressive — long caustic renders (BDPT's home turf) can
+    now accumulate spp across restarts.  The t=1 splat film joins the
+    same accumulator scaled by 1/n_pix, so the accumulated image matches
+    the single-shot render_bdpt (same per-path radiances; summation
+    order differs, so float tolerance rather than bitwise).
+    Returns (image (H,W,3) row-0-top, spp_done)."""
+    return _progressive_loop(
+        scene, cfg,
+        lambda off, step: _progressive_bdpt_pass_jit(scene, off, step, cfg),
+        spp_per_pass, checkpoint_path, resume, callback)
 
 
 def _loss_l2(img, target):
