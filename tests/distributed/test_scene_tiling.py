@@ -161,3 +161,20 @@ def test_tiled_bdpt_with_spheres(scene):
     img = render_bdpt_tiled(sc, cfg, mesh)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_fit_tiled_smoke(scene):
+    """Round-5: fit(tiled=True) drives the chained geometry-tiled step
+    and the loss drops."""
+    from tputracer.fit import fit
+
+    target, _ = render(scene, CFG)
+    off = scene.replace(mat_albedo=jnp.clip(scene.mat_albedo * 0.5,
+                                            0.05, 0.95))
+    mesh = make_mesh((8,), ("dp",))
+    _, params, hist = fit(off, target, param_names=("mat_albedo",),
+                          cfg=CFG, steps=4, learning_rate=5e-2,
+                          log_every=0, steps_per_dispatch=2,
+                          mesh=mesh, tiled=True)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]

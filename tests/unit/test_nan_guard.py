@@ -77,3 +77,25 @@ def test_no_tracer_leaks():
             lambda s: render_pt(s, CFG))(cornell_box("boxes"))
         jax.block_until_ready(img)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_bdpt_grad_nan_free(nan_debug):
+    """Round-5: the BDPT backward (MIS ratio chains, splat scatter VJP,
+    delta-suppression masks) under the NaN debugger — transient NaNs in
+    masked branches would raise here even if the final grads are clean."""
+    from tputracer.config import BdptConfig
+    from tputracer.integrators.bdpt import render_bdpt
+
+    cfg = BdptConfig(width=8, height=8, spp=2, max_bounces=3,
+                     chunk_size=8 * 8 * 2)
+    scene = cornell_box("caustic")
+
+    def loss(p):
+        img, _ = render_bdpt(scene.replace(**p), cfg)
+        return jnp.mean(img)
+
+    params = {"mat_albedo": jnp.clip(scene.mat_albedo, 0.05, 0.95),
+              "mat_emission": scene.mat_emission}
+    val, grads = jax.value_and_grad(loss)(params)
+    for leaf in jax.tree.leaves((val, grads)):
+        assert np.isfinite(np.asarray(leaf)).all()

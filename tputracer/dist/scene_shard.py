@@ -402,6 +402,32 @@ def _fit_step_tiled_jit(scene, params, target, cfg, mesh):
     return f(scene, params, uids, target[::-1])
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 7))
+def _fit_chain_tiled_jit(scene, params, target, cfg, mesh, opt, opt_state,
+                         n_steps):
+    import optax
+
+    from tputracer.fit import _project
+
+    losses = []
+    for _ in range(n_steps):
+        loss, grads = _fit_step_tiled_jit(
+            scene.replace(**params), params, target, cfg, mesh)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = _project(optax.apply_updates(params, updates))
+        losses.append(loss)
+    return jnp.stack(losses), params, opt_state
+
+
+def fit_chain_tiled(scene, params, target, cfg, mesh, opt, opt_state,
+                    n_steps):
+    """n_steps fused GEOMETRY-TILED optimization steps in ONE dispatch
+    (round-5: big-scene inverse rendering from fit(tiled=True); same
+    tunnel-latency rationale as dist.mesh.fit_chain_sharded)."""
+    return _fit_chain_tiled_jit(scene, params, target, cfg, mesh, opt,
+                                opt_state, n_steps)
+
+
 def fit_step_tiled(scene, params, target, cfg, mesh):
     """One inverse-rendering step with the GEOMETRY tiled over the mesh
     (round-4: big-scene inverse rendering — the tiling's whole purpose —

@@ -134,6 +134,7 @@ def fit(
     tensorboard_dir=None,
     steps_per_dispatch=8,
     integrator="pt",
+    tiled=False,
 ):
     """Gradient-descend scene parameters toward a target image.
 
@@ -156,9 +157,16 @@ def fit(
     it runs rays-DP-sharded (dist.mesh.fit_step_bdpt_sharded: the t=1
     splat coupling backpropagates through the splat psum, validated
     against single-device grads).
+
+    tiled=True (needs mesh=, integrator="pt", a clustered scene): the
+    GEOMETRY is sharded C/P per device and rays ring-rotate past every
+    shard (dist.scene_shard) — inverse rendering for scenes that
+    outgrow one device's memory.
     """
     from tputracer.config import BdptConfig, RenderConfig
 
+    if tiled and (mesh is None or integrator != "pt"):
+        raise ValueError("fit(tiled=True) needs mesh= and integrator='pt'")
     if integrator == "bdpt":
         cfg = cfg or BdptConfig(width=64, height=64, spp=8, max_bounces=3)
     else:
@@ -177,6 +185,7 @@ def fit(
     if mesh is not None:
         from tputracer.dist import (fit_chain_bdpt_sharded,
                                     fit_chain_sharded,
+                                    fit_chain_tiled,
                                     fit_step_opt_sharded)
 
     history = []
@@ -198,7 +207,11 @@ def fit(
         if checkpoint_path and checkpoint_every:
             nxt = (step // checkpoint_every + 1) * checkpoint_every
             k = min(k, nxt - step)
-        if mesh is not None and integrator == "bdpt":
+        if mesh is not None and tiled:
+            losses, params, opt_state = fit_chain_tiled(
+                scene, params, target, cfg, mesh, opt, opt_state, k)
+            losses = [float(x) for x in losses]
+        elif mesh is not None and integrator == "bdpt":
             losses, params, opt_state = fit_chain_bdpt_sharded(
                 scene, params, target, cfg, mesh, opt, opt_state, k)
             losses = [float(x) for x in losses]
