@@ -157,6 +157,7 @@ def bench_bdpt_caustic(quick):
     cfg = BdptConfig(width=size, height=size, spp=8, max_bounces=4,
                      chunk_size=1 << 15)
     dt = _timed(lambda: render_bdpt(scene, cfg)[0], reps=3)
+    _, stats = render_bdpt(scene, cfg)
     paths = size * size * cfg.spp
     B = cfg.max_bounces
     E = B + 1
@@ -164,7 +165,10 @@ def bench_bdpt_caustic(quick):
     n_strat = sum(1 for t in range(1, E + 2) for s in range(0, E + 1)
                   if 2 <= s + t <= B + 2 and not (s == 0 and t < 2))
     rays = paths * (2 * E + n_strat)
+    issued = _issued(stats)   # round-5: exact live-lane counters
     return {"rays_per_s": round(rays / dt), "render_s": round(dt, 4),
+            "rays_issued": issued,
+            "issued_rays_per_s": round(issued / dt),
             "strategies": n_strat}
 
 

@@ -134,7 +134,7 @@ def _progressive_bdpt_pass_jit(scene, offset, step, cfg):
     pix = jnp.arange(n_pix, dtype=jnp.uint32)[:, None]
     uid = (pix * cfg.spp + offset[0]
            + jnp.arange(step, dtype=jnp.uint32)[None, :]).ravel()
-    L_own, splat = trace_bdpt(scene, uid, cfg)
+    L_own, splat, _ = trace_bdpt(scene, uid, cfg)
     own = L_own.reshape(cfg.height, cfg.width, step, 3).sum(axis=2)
     # single-shot film = L_sum/spp + splat_sum/(n_pix*spp)
     #                  = (L_sum + splat_sum/n_pix) / spp — so each pass

@@ -109,7 +109,7 @@ def _render_bdpt_sharded_jit(scene, cfg, mesh):
     n_total = cfg.width * cfg.height * cfg.spp
 
     def shard_body(scene, uids):
-        L_own, splat = trace_bdpt_rows(scene, uids, cfg)
+        L_own, splat, _ = trace_bdpt_rows(scene, uids, cfg)
         img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
         # t=1 splats land on ARBITRARY pixels: all-reduce the splat film
         # over the mesh, then each shard keeps its own row block
@@ -153,7 +153,7 @@ def _fit_step_bdpt_jit(scene, params, target, cfg, mesh):
     def shard_loss(scene, params, uids, tgt_rows):
         def loss_fn(p):
             sc = scene.replace(**p)
-            L_own, splat = trace_bdpt_rows(sc, uids, cfg)
+            L_own, splat, _ = trace_bdpt_rows(sc, uids, cfg)
             img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
             # the t=1 splat film couples shards (my light subpaths land
             # on everyone's rows), so the backward must flow THROUGH

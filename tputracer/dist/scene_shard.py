@@ -325,9 +325,9 @@ def _render_bdpt_tiled_jit(scene, cfg, mesh):
     isect, occl = make_ring_backends(axes, n_shards)
 
     def shard_body(scene_loc, uids):
-        L_own, splat = trace_bdpt_rows(scene_loc, uids, cfg,
-                                       intersect_fn=isect,
-                                       occluded_fn=occl)
+        L_own, splat, _ = trace_bdpt_rows(scene_loc, uids, cfg,
+                                          intersect_fn=isect,
+                                          occluded_fn=occl)
         img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
         # t=1 splats land on arbitrary pixels: all-reduce over the mesh,
         # keep own rows (same contract as dist.mesh.render_bdpt_sharded)

@@ -96,7 +96,7 @@ def _camera_pdf_sa(cam, d):
 
 
 def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
-          transport_radiance, start_p=None, isect=None):
+          transport_radiance, start_p=None, isect=None, stats_acc=None):
     """Random walk of up to n_verts surface vertices; returns vertex list.
 
     Each vertex is a dict of (N,)-leading SoA arrays:
@@ -105,6 +105,11 @@ def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
       valid.  pdf_rev of vertex i is written one step later (it needs the
       walk's next direction); ``origin`` (light-walk y0) receives its
       pdf_rev the same way.
+
+    Dead lanes get tmax=0 (round-5, matching integrators.pt): the
+    traversal kernels then skip all-dead subtiles, and the live-lane
+    count is the honest "rays issued" stat (stats_acc["rays_closest"]
+    when a stats dict is passed).
     """
     n = o.shape[0]
     isect = intersect if isect is None else isect
@@ -115,8 +120,12 @@ def _walk(scene, o, d, beta, pdf_sa, uid, cfg, n_verts, slot, origin,
     alive = jnp.ones((n,), bool)
     verts = []
     for i in range(n_verts):
+        if stats_acc is not None:
+            stats_acc["rays_closest"] = (
+                stats_acc.get("rays_closest", 0.0)
+                + jnp.sum(alive.astype(jnp.float32)))
         hit = isect(scene, o, d, tmin=zeros1,
-                    tmax=jnp.full((n,), _BIG))
+                    tmax=jnp.where(alive, _BIG, 0.0))
         valid = alive & hit.valid
         pdf_fwd = _convert_density(pdf_sa, prev_p, hit.p, hit.n)
         kind = fetch_int(scene.mat_kind, hit.mat)
@@ -247,7 +256,7 @@ def _mis_weight(scene, cam, ys, zs, s, t, power=False):
     return 1.0 / (1.0 + sum_ri)
 
 
-def eye_subpaths(scene, uid, cfg, isect=None):
+def eye_subpaths(scene, uid, cfg, isect=None, stats_acc=None):
     """Camera vertex + wavefront eye walk -> vertex SoA list zs."""
     n = uid.shape[0]
     cam = scene.camera
@@ -269,10 +278,10 @@ def eye_subpaths(scene, uid, cfg, isect=None):
     return [cam_v] + _walk(
         scene, o, d, jnp.ones((n, 3), jnp.float32), _camera_pdf_sa(cam, d),
         uid, cfg, E, rng.SLOT_BSDF, origin=None, transport_radiance=True,
-        isect=isect)
+        isect=isect, stats_acc=stats_acc)
 
 
-def light_subpaths(scene, uid, cfg, isect=None):
+def light_subpaths(scene, uid, cfg, isect=None, stats_acc=None):
     """Emitter sample + importance-transport walk -> vertex SoA list ys."""
     n = uid.shape[0]
     eps = jnp.float32(scene.eps)
@@ -297,7 +306,8 @@ def light_subpaths(scene, uid, cfg, isect=None):
     return [y0] + _walk(
         scene, yp + n_l * eps, d0, y0["beta"] * _PI, pdf_d0,
         uid, cfg, E, rng.SLOT_LBSDF, origin=y0,
-        transport_radiance=False, start_p=yp, isect=isect)
+        transport_radiance=False, start_p=yp, isect=isect,
+        stats_acc=stats_acc)
 
 
 def s0_radiance(scene, cfg, zs):
@@ -319,7 +329,7 @@ def s0_radiance(scene, cfg, zs):
     return L_own
 
 
-def connection_radiance(scene, cfg, ys, zs, occl=None):
+def connection_radiance(scene, cfg, ys, zs, occl=None, stats_acc=None):
     """s>=1, t>=2 vertex-connection strategies: one masked batch + one
     shadow-ray batch per (s, t).  ys and zs may come from DIFFERENT path
     sets (the ring-sharded renderer pairs each eye subpath with rotated
@@ -352,8 +362,16 @@ def connection_radiance(scene, cfg, ys, zs, occl=None):
                     & jnp.logical_not(z["delta"])
                     & jnp.logical_not(y["delta"])
                     & (jnp.max(c, axis=-1) > 0.0))
+            # only candidate connections trace shadow rays (tmax=0
+            # skips masked lanes in the traversal, as in pt.py's NEE);
+            # their count is the honest shadow-ray stat
+            if stats_acc is not None:
+                stats_acc["rays_shadow"] = (
+                    stats_acc.get("rays_shadow", 0.0)
+                    + jnp.sum(mask.astype(jnp.float32)))
             o_s = z["p"] + g.face_forward(z["ng"], d_zy) * eps
-            occ = occl(scene, o_s, d_zy, tmax=dist * (1.0 - 1e-3))
+            occ = occl(scene, o_s, d_zy,
+                       tmax=jnp.where(mask, dist * (1.0 - 1e-3), 0.0))
             mask = mask & jnp.logical_not(occ)
             w = _mis_weight(scene, cam, ys, zs, s, t,
                             power=cfg.mis_power)
@@ -361,7 +379,7 @@ def connection_radiance(scene, cfg, ys, zs, occl=None):
     return L_own
 
 
-def t1_splats(scene, cfg, ys, zs, occl=None):
+def t1_splats(scene, cfg, ys, zs, occl=None, stats_acc=None):
     """t=1 light-tracing strategies: splat light-subpath vertices through
     the pinhole onto the film (segment_sum scatter).  Depends only on the
     light subpath (zs supplies just the shared camera vertex for the MIS
@@ -404,9 +422,13 @@ def t1_splats(scene, cfg, ys, zs, occl=None):
         c = y["beta"] * f_y * (imp * cos_y / dist2)[:, None]
         mask = (y["valid"] & jnp.logical_not(y["delta"]) & on_film
                 & (jnp.max(c, axis=-1) > 0.0))
+        if stats_acc is not None:
+            stats_acc["rays_shadow"] = (
+                stats_acc.get("rays_shadow", 0.0)
+                + jnp.sum(mask.astype(jnp.float32)))
         occ = occl(
             scene, jnp.broadcast_to(cam.o[None, :], (n, 3)), d_cy,
-            tmax=dist * (1.0 - 1e-3))
+            tmax=jnp.where(mask, dist * (1.0 - 1e-3), 0.0))
         mask = mask & jnp.logical_not(occ)
         w = _mis_weight(scene, cam, ys, zs, s, 1,
                         power=cfg.mis_power)
@@ -429,19 +451,29 @@ def trace_bdpt(scene, uid, cfg, intersect_fn=None, occluded_fn=None):
     accel.intersect / accel.occluded signatures — the geometry-tiled
     renderer (dist.scene_shard.render_bdpt_tiled) plugs its ring
     traversal in here, exactly like integrators.pt.trace_radiance.
+
+    Also returns stats (round-5 honest ray accounting, the BDPT
+    counterpart of pt.trace_radiance's): "rays_closest" = live subpath
+    segments actually traced across both walks, "rays_shadow" =
+    candidate connection + t=1 shadow rays actually traced.
     """
-    zs = eye_subpaths(scene, uid, cfg, isect=intersect_fn)
-    ys = light_subpaths(scene, uid, cfg, isect=intersect_fn)
+    acc = {}
+    zs = eye_subpaths(scene, uid, cfg, isect=intersect_fn, stats_acc=acc)
+    ys = light_subpaths(scene, uid, cfg, isect=intersect_fn, stats_acc=acc)
     L_own = s0_radiance(scene, cfg, zs) + connection_radiance(
-        scene, cfg, ys, zs, occl=occluded_fn)
-    return L_own, t1_splats(scene, cfg, ys, zs, occl=occluded_fn)
+        scene, cfg, ys, zs, occl=occluded_fn, stats_acc=acc)
+    splat = t1_splats(scene, cfg, ys, zs, occl=occluded_fn, stats_acc=acc)
+    stats = {"rays_closest": acc.get("rays_closest", jnp.float32(0.0)),
+             "rays_shadow": acc.get("rays_shadow", jnp.float32(0.0))}
+    return L_own, splat, stats
 
 
 def trace_bdpt_rows(scene, uids, cfg, rows_budget=None,
                     intersect_fn=None, occluded_fn=None):
     """Trace a contiguous uid range in row-aligned chunks.
 
-    Returns (L_own (n,3) in uid order, splat (H*W,3) film scatter).
+    Returns (L_own (n,3) in uid order, splat (H*W,3) film scatter,
+    stats dict of summed ray counters).
     Chunking is on whole image rows: padding is not an option here
     (padded paths would still SPLAT onto real pixels), so the chunk is
     the largest row count that divides the range and fits the budget.
@@ -457,13 +489,16 @@ def trace_bdpt_rows(scene, uids, cfg, rows_budget=None,
     chunk = rows * per_row
     L_parts, splat_sum = [], jnp.zeros(
         (cfg.width * cfg.height, 3), jnp.float32)
+    stats = None
     for i in range(n // chunk):
-        L, sp = trace_bdpt(scene, uids[i * chunk:(i + 1) * chunk], cfg,
-                           intersect_fn=intersect_fn,
-                           occluded_fn=occluded_fn)
+        L, sp, st = trace_bdpt(scene, uids[i * chunk:(i + 1) * chunk], cfg,
+                               intersect_fn=intersect_fn,
+                               occluded_fn=occluded_fn)
         L_parts.append(L)
         splat_sum = splat_sum + sp
-    return jnp.concatenate(L_parts, axis=0), splat_sum
+        stats = st if stats is None else jax.tree.map(
+            lambda a, b: a + b, stats, st)
+    return jnp.concatenate(L_parts, axis=0), splat_sum, stats
 
 
 def render_bdpt(scene, cfg):
@@ -474,9 +509,9 @@ def render_bdpt(scene, cfg):
     """
     n_total = cfg.width * cfg.height * cfg.spp
     uids = jnp.arange(n_total, dtype=jnp.uint32)
-    L_own, splat_sum = trace_bdpt_rows(scene, uids, cfg)
+    L_own, splat_sum, stats = trace_bdpt_rows(scene, uids, cfg)
     img = film_from_radiance(L_own, cfg)
     splat_img = (splat_sum / jnp.float32(n_total)).reshape(
         cfg.height, cfg.width, 3)[::-1]
-    stats = {"splat_energy": jnp.sum(splat_sum)}
+    stats = dict(stats, splat_energy=jnp.sum(splat_sum))
     return img + splat_img, stats
