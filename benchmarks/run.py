@@ -196,20 +196,44 @@ def bench_inverse(quick):
 
     from tputracer.dist import fit_chain_sharded
 
-    K = 8   # optimization steps per dispatch: a single step is tunnel-
-            # latency-bound (~25 ms/dispatch vs <1 ms of backward device
-            # time — benchmarks/experiments/_exp_bwd.py); production
-            # optimizer loops chain steps in one program
+    K = 8   # optimization steps per dispatch (amortizes the ~25 ms
+            # tunnel dispatch latency across K steps)
 
-    def steps():
-        return fit_chain_sharded(sc, params, target, cfg, mesh, opt,
-                                 opt_state, K)
+    # ROUND-5 PROTOCOL HARDENING: the state is chained across timed
+    # dispatches (optimizer outputs feed the next call) and every
+    # dispatch ends in ONE real np.asarray fetch of the loss vector.
+    # Rationale: jax.block_until_ready on axon can return in ~0.2 ms
+    # for small replicated outputs without waiting (observed; the
+    # deferred work then lands on the next data-dependent call — one
+    # probe iteration absorbed 26.9 s), so the old same-inputs +
+    # block_until_ready timing was structurally fragile.  The hardened
+    # protocol CONFIRMS the old number (~195 vs 200.6 steps/s: ~5.6 ms
+    # of device time per step; the chain amortizes the ~25 ms tunnel
+    # dispatch).  Measurement traps to avoid here: per-element float()
+    # or per-leaf fetches cost ~25-120 ms EACH through the tunnel —
+    # fetch exactly one small array per dispatch.
+    import numpy as _np
+    import time as _time
 
-    dt = _timed(steps, reps=3)
+    p, st = params, opt_state
+    # warm-up: compile + the one sharding-driven recompile when outputs
+    # first feed back as inputs
+    for _ in range(2):
+        ls, p, st = fit_chain_sharded(sc.replace(**p), p, target, cfg,
+                                      mesh, opt, st, K)
+        _np.asarray(ls)
+    n_disp = 6
+    t0 = _time.perf_counter()
+    for _ in range(n_disp):
+        ls, p, st = fit_chain_sharded(sc.replace(**p), p, target, cfg,
+                                      mesh, opt, st, K)
+        _np.asarray(ls)            # real fetch: the only trustworthy sync
+    dt = (_time.perf_counter() - t0) / n_disp
     paths = size * size * cfg.spp
     rays = K * paths * (cfg.max_bounces + 1 + cfg.max_bounces)
     return {"steps_per_s": round(K / dt, 3),
             "steps_per_dispatch": K,
+            "chained_protocol": True,
             "fwd_bwd_rays_per_s": round(rays / dt),
             "n_devices": len(jax.devices())}
 
@@ -273,7 +297,7 @@ def _check_regressions(out_path, names, tol=0.10, recent=3):
 # measured single-step dispatch at ~29 steps/s vs chained-8's ~200 — the
 # guard must not read that protocol change as an outlier)
 _PROTOCOL_KEYS = ("steps_per_dispatch", "tile", "sub", "n_tris",
-                  "n_shards", "env")
+                  "n_shards", "env", "chained_protocol")
 
 
 def _same_protocol(a, b):

@@ -22,4 +22,6 @@ capability spec in ``BASELINE.json``/``SURVEY.md`` sections instead of
 
 __version__ = "0.1.0"
 
-from tputracer.api import render, render_bdpt, grad_render  # noqa: F401
+from tputracer.api import (grad_render, render,  # noqa: F401
+                           render_bdpt, render_bdpt_progressive,
+                           render_progressive)
