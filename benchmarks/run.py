@@ -278,8 +278,13 @@ def _check_regressions(out_path, names, tol=0.10, recent=3):
         hist = [r for r in records
                 if r.get("bench") == name and not r.get("quick")
                 and metric in r and not r.get("note")]
+        # compare like with like: only records sharing the freshest
+        # record's protocol (a chained-dispatch inverse row must not be
+        # judged against single-step-era rows, and vice versa)
+        if hist:
+            hist = [r for r in hist if _same_protocol(r, hist[-1])]
         if len(hist) < 2:
-            print(f"check {name}: no prior record, skipped")
+            print(f"check {name}: no comparable prior record, skipped")
             continue
         k = min(recent, len(hist) - 1)
         fresh = max(r[metric] for r in hist[-k:])
