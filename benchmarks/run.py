@@ -156,8 +156,14 @@ def bench_bdpt_caustic(quick):
     scene = cornell_box("caustic")
     cfg = BdptConfig(width=size, height=size, spp=8, max_bounces=4,
                      chunk_size=1 << 15)
-    dt = _timed(lambda: render_bdpt(scene, cfg)[0], reps=3)
-    _, stats = render_bdpt(scene, cfg)
+    cell = {}
+
+    def run():
+        img, cell["stats"] = render_bdpt(scene, cfg)
+        return img
+
+    dt = _timed(run, reps=3)   # stats captured from the last timed rep
+    stats = cell["stats"]      # (no fourth un-timed render)
     paths = size * size * cfg.spp
     B = cfg.max_bounces
     E = B + 1
@@ -319,6 +325,10 @@ def _outlier_guard(out_path, name, rec, note, factor=3.0):
     metric = _METRIC.get(name, "rays_per_s")
     if metric not in rec:
         return True
+    if rec.get("quick"):
+        # quick runs use smaller sizes — not comparable to the full-size
+        # median (prior filter excludes quick rows anyway); never refuse
+        return True
     try:
         prior = [r[metric] for r in _load_records(out_path)
                  if r.get("bench") == name and not r.get("quick")
@@ -363,15 +373,19 @@ def main(argv=None):
         import subprocess
         import sys
 
+        refused = False
         for name in names:
             cmd = [sys.executable, "-m", "benchmarks.run", "--only", name]
             if args.quick:
                 cmd.append("--quick")
             if args.note:
                 cmd += ["--note", args.note]
-            subprocess.run(cmd, check=False)
+            refused |= subprocess.run(cmd, check=False).returncode == 3
         if args.check:
-            raise SystemExit(_check_regressions(out_path, names))
+            # a refused (>3x-off, unnoted) record in any subprocess is a
+            # failed check even though it never reached results.jsonl
+            raise SystemExit(1 if refused
+                             else _check_regressions(out_path, names))
         return
 
     import jax
@@ -399,7 +413,13 @@ def main(argv=None):
         with open(out_path, "a") as fh:
             fh.write(line + "\n")
     if args.check:
-        raise SystemExit(_check_regressions(out_path, [name]))
+        # a refused (>3x-off) record IS a failed check: without this, the
+        # check would read only healthy prior rows and pass precisely on
+        # the largest anomalies (round-5 review)
+        rc = _check_regressions(out_path, [name])
+        raise SystemExit(1 if not ok else rc)
+    if not ok:
+        raise SystemExit(3)   # refusal marker for the multi-bench parent
 
 
 if __name__ == "__main__":

@@ -256,7 +256,13 @@ def slab_te(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref):
                               jnp.where(da >= 0.0, tiny, -tiny), da)
         oa_f32 = o_ref[rs, a:a + 1]
         if bf16:
-            oinv = jnp.maximum(oinv, jnp.abs(oa_f32 * inv))
+            # degenerate axes (|d_a| < tiny -> inv = +-1e12) never bind
+            # the slab interval for inside-slab origins; including them
+            # would blow the guard up to ~1e12 world units and admit
+            # every cluster (round-5 review)
+            oinv = jnp.maximum(
+                oinv, jnp.where(jnp.abs(da) < tiny, 0.0,
+                                jnp.abs(oa_f32 * inv)))
         inv = inv.astype(dt)
         oa = oa_f32.astype(dt)
         t0 = (cmin_ref[a:a + 1, :] - oa) * inv
@@ -265,14 +271,17 @@ def slab_te(o_ref, d_ref, rs, tmin, tmax, cmin_ref, cmax_ref):
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     if bf16:
         # conservative guard: lower-bound the entry, upper-bound the
-        # exit.  Scale = |t| (relative bf16 chain error) + max |o*inv|
-        # (absolute origin-rounding error; see docstring) — 2^-5 gives
-        # >= 2x margin over both 2^-9-per-op terms.
-        guard = jnp.float32(2.0 ** -5)
-        scale = (jnp.abs(tn).astype(jnp.float32) + oinv) * guard
-        tn = (tn.astype(jnp.float32) - scale)
-        scale_f = (jnp.abs(tf).astype(jnp.float32) + oinv) * guard
-        tf = (tf.astype(jnp.float32) + scale_f)
+        # exit.  Relative term |t| * 2^-5 covers the <=~4-ulp bf16
+        # chain error with 2x margin; absolute term max|o*inv| * 2^-7
+        # covers the |o_a| * 2^-9 origin-rounding error with 4x margin
+        # (NOT 2^-5: a 16x-over absolute pad on far origins admits far
+        # too many clusters — round-5 review).
+        rel = jnp.float32(2.0 ** -5)
+        ab = jnp.float32(2.0 ** -7)
+        tn = (tn.astype(jnp.float32)
+              - (jnp.abs(tn).astype(jnp.float32) * rel + oinv * ab))
+        tf = (tf.astype(jnp.float32)
+              + (jnp.abs(tf).astype(jnp.float32) * rel + oinv * ab))
     # (tmin < tmax): an empty window (dead lane, tmax=0) must admit
     # nothing even when the origin sits inside a box (tn < 0 < tf) —
     # the union-walk was shielded by its bt0=0 admission but the expand

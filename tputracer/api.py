@@ -60,7 +60,12 @@ def _ckpt_ident(scene, cfg):
     """Checkpoint identity: a stale film from a different render must
     never silently blend in — resume only on a full scene/config/seed
     match.  (hashlib, not hash(): bytes hashing is PYTHONHASHSEED-salted
-    and would differ across processes, breaking every resume.)"""
+    and would differ across processes, breaking every resume.)
+
+    The INTEGRATOR is part of the identity (round-5 review): cfg's type
+    plus its estimator-changing flags (mis / mis_power) are hashed in,
+    so a PT film can never resume into a BDPT accumulation (the five
+    shared numeric fields alone would collide)."""
     import hashlib
 
     import numpy as np
@@ -68,6 +73,11 @@ def _ckpt_ident(scene, cfg):
     dig = hashlib.sha256()
     for leaf in jax.tree.leaves(scene):
         dig.update(np.asarray(leaf).tobytes())
+    dig.update(type(cfg).__name__.encode())
+    dig.update(repr((getattr(cfg, "mis", None),
+                     getattr(cfg, "mis_power", None),
+                     getattr(cfg, "rr_start", None),
+                     getattr(cfg, "transport_radiance", None))).encode())
     scene_hash = int.from_bytes(dig.digest()[:6], "little")
     return np.array(
         [cfg.width, cfg.height, cfg.spp, cfg.seed, cfg.max_bounces,
@@ -134,8 +144,23 @@ def _progressive_bdpt_pass_jit(scene, offset, step, cfg):
     pix = jnp.arange(n_pix, dtype=jnp.uint32)[:, None]
     uid = (pix * cfg.spp + offset[0]
            + jnp.arange(step, dtype=jnp.uint32)[None, :]).ravel()
-    L_own, splat, _ = trace_bdpt(scene, uid, cfg)
-    own = L_own.reshape(cfg.height, cfg.width, step, 3).sum(axis=2)
+    # honor cfg.chunk_size (round-5 review: a 512^2 pass at step=4 is
+    # 1M paths — 16x the memory knob if traced in one call).  Chunk on
+    # whole image rows, per_row = W*step paths, like trace_bdpt_rows.
+    per_row = cfg.width * step
+    rows = max(1, min(cfg.chunk_size // per_row, cfg.height))
+    while cfg.height % rows:
+        rows -= 1
+    chunk = rows * per_row
+    own_parts = []
+    splat = jnp.zeros((n_pix, 3), jnp.float32)
+    for i in range(uid.shape[0] // chunk):
+        L_own, sp, _ = trace_bdpt(scene, uid[i * chunk:(i + 1) * chunk],
+                                  cfg)
+        own_parts.append(L_own)
+        splat = splat + sp
+    own = jnp.concatenate(own_parts, axis=0).reshape(
+        cfg.height, cfg.width, step, 3).sum(axis=2)
     # single-shot film = L_sum/spp + splat_sum/(n_pix*spp)
     #                  = (L_sum + splat_sum/n_pix) / spp — so each pass
     # contributes its splat scaled by 1/n_pix into the same accumulator

@@ -44,16 +44,22 @@ def main(argv=None):
     from tputracer.film import save_image
     from tputracer.scene import cornell_box, furnace, mesh_scene, obj_scene
 
+    # --tiled shards cluster-major geometry, so force the cluster BVH
+    # even for scenes below the auto threshold (a Cornell box would
+    # otherwise hit pad_scene_clusters' "needs a clustered scene")
+    accel_kw = {"accel": "cluster"} if args.tiled else {}
     if args.obj:
-        scene = obj_scene(args.obj)
+        scene = obj_scene(args.obj, **accel_kw)
     elif args.scene == "furnace":
+        if args.tiled:
+            raise SystemExit("--tiled: the furnace scene is not clustered")
         scene = furnace()
     elif args.scene == "mesh":
-        scene = mesh_scene(subdiv=6)      # 102k-tri scene (BASELINE config 3)
+        scene = mesh_scene(subdiv=6, **accel_kw)  # 102k tris (config 3)
     elif args.scene == "mesh_small":
-        scene = mesh_scene(subdiv=4)
+        scene = mesh_scene(subdiv=4, **accel_kw)
     else:
-        scene = cornell_box(args.scene)
+        scene = cornell_box(args.scene, **accel_kw)
 
     if args.integrator == "pt":
         cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,

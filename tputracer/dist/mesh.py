@@ -99,6 +99,21 @@ def render_sharded(scene, cfg, mesh):
     return _render_sharded_jit(scene, cfg, mesh)
 
 
+def own_splat_rows(splat, cfg, axes, rows_per):
+    """psum the global t=1 splat film over the mesh and return THIS
+    shard's row block (round-5 dedup: shared by the DP render, the DP
+    fit loss and the tiled BDPT render).  The backward through the psum
+    is the cross-shard cotangent sum the splat coupling needs
+    (tests/distributed/test_sharded_bdpt_fit.py)."""
+    splat = jax.lax.psum(splat, axes)
+    i = jnp.int32(0)
+    for ax in axes:
+        i = i * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return jax.lax.dynamic_slice(
+        splat.reshape(cfg.height, cfg.width, 3),
+        (i * rows_per, 0, 0), (rows_per, cfg.width, 3))
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def _render_bdpt_sharded_jit(scene, cfg, mesh):
     from tputracer.integrators.bdpt import trace_bdpt_rows
@@ -111,15 +126,8 @@ def _render_bdpt_sharded_jit(scene, cfg, mesh):
     def shard_body(scene, uids):
         L_own, splat, _ = trace_bdpt_rows(scene, uids, cfg)
         img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
-        # t=1 splats land on ARBITRARY pixels: all-reduce the splat film
-        # over the mesh, then each shard keeps its own row block
-        splat = jax.lax.psum(splat, axes)
-        i = jnp.int32(0)
-        for ax in axes:
-            i = i * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-        rows = jax.lax.dynamic_slice(
-            splat.reshape(cfg.height, cfg.width, 3),
-            (i * rows_per, 0, 0), (rows_per, cfg.width, 3))
+        # t=1 splats land on ARBITRARY pixels: all-reduce, keep own rows
+        rows = own_splat_rows(splat, cfg, axes, rows_per)
         return img + rows / jnp.float32(n_total)
 
     uids = jnp.arange(n_total, dtype=jnp.uint32)
@@ -155,20 +163,10 @@ def _fit_step_bdpt_jit(scene, params, target, cfg, mesh):
             sc = scene.replace(**p)
             L_own, splat, _ = trace_bdpt_rows(sc, uids, cfg)
             img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
-            # the t=1 splat film couples shards (my light subpaths land
-            # on everyone's rows), so the backward must flow THROUGH
-            # the collective: lax.psum's transpose is psum, which is
-            # exactly the cross-shard cotangent sum the coupling needs
-            # (validated against single-device BDPT grads in
-            # tests/distributed/test_sharded_bdpt_fit.py)
-            splat = jax.lax.psum(splat, axes)
-            i = jnp.int32(0)
-            for ax in axes:
-                i = i * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-            rows = jax.lax.dynamic_slice(
-                splat.reshape(cfg.height, cfg.width, 3),
-                (i * rows_per, 0, 0), (rows_per, cfg.width, 3))
-            img = img + rows / jnp.float32(n_total)
+            # the t=1 splat film couples shards; the backward flows
+            # THROUGH the psum inside own_splat_rows (see its docstring)
+            img = img + own_splat_rows(splat, cfg, axes,
+                                       rows_per) / jnp.float32(n_total)
             return jnp.sum((img - tgt_rows) ** 2) / denom
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -199,18 +197,11 @@ def fit_step_bdpt_sharded(scene, params, target, cfg, mesh):
 @partial(jax.jit, static_argnums=(3, 4, 5, 7))
 def _fit_chain_bdpt_jit(scene, params, target, cfg, mesh, opt, opt_state,
                         n_steps):
-    import optax
+    from tputracer.fit import chain_steps
 
-    from tputracer.fit import _project
-
-    losses = []
-    for _ in range(n_steps):
-        sc = scene.replace(**params)
-        loss, grads = _fit_step_bdpt_jit(sc, params, target, cfg, mesh)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = _project(optax.apply_updates(params, updates))
-        losses.append(loss)
-    return jnp.stack(losses), params, opt_state
+    return chain_steps(
+        lambda sc, p, t: _fit_step_bdpt_jit(sc, p, t, cfg, mesh),
+        scene, params, target, opt, opt_state, n_steps)
 
 
 def fit_chain_bdpt_sharded(scene, params, target, cfg, mesh, opt,
@@ -300,18 +291,11 @@ def fit_step_opt_sharded(scene, params, target, cfg, mesh, opt, opt_state):
 @partial(jax.jit, static_argnums=(3, 4, 5, 7))
 def _fit_chain_jit(scene, params, target, cfg, mesh, opt, opt_state,
                    n_steps):
-    import optax
+    from tputracer.fit import chain_steps
 
-    from tputracer.fit import _project
-
-    losses = []
-    for _ in range(n_steps):
-        sc = scene.replace(**params)
-        loss, grads = _fit_step_jit(sc, params, target, cfg, mesh)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = _project(optax.apply_updates(params, updates))
-        losses.append(loss)
-    return jnp.stack(losses), params, opt_state
+    return chain_steps(
+        lambda sc, p, t: _fit_step_jit(sc, p, t, cfg, mesh),
+        scene, params, target, opt, opt_state, n_steps)
 
 
 def fit_chain_sharded(scene, params, target, cfg, mesh, opt, opt_state,

@@ -325,19 +325,14 @@ def _render_bdpt_tiled_jit(scene, cfg, mesh):
     isect, occl = make_ring_backends(axes, n_shards)
 
     def shard_body(scene_loc, uids):
+        from tputracer.dist.mesh import own_splat_rows
+
         L_own, splat, _ = trace_bdpt_rows(scene_loc, uids, cfg,
                                           intersect_fn=isect,
                                           occluded_fn=occl)
         img = film_from_radiance(L_own, cfg, rows=rows_per, flip=False)
-        # t=1 splats land on arbitrary pixels: all-reduce over the mesh,
-        # keep own rows (same contract as dist.mesh.render_bdpt_sharded)
-        splat = lax.psum(splat, axes)
-        i = jnp.int32(0)
-        for ax in axes:
-            i = i * lax.axis_size(ax) + lax.axis_index(ax)
-        rows = lax.dynamic_slice(
-            splat.reshape(cfg.height, cfg.width, 3),
-            (i * rows_per, 0, 0), (rows_per, cfg.width, 3))
+        # t=1 splats land on arbitrary pixels: all-reduce, keep own rows
+        rows = own_splat_rows(splat, cfg, axes, rows_per)
         return img + rows / jnp.float32(n_total)
 
     uids = jnp.arange(n_total, dtype=jnp.uint32)
@@ -405,18 +400,11 @@ def _fit_step_tiled_jit(scene, params, target, cfg, mesh):
 @partial(jax.jit, static_argnums=(3, 4, 5, 7))
 def _fit_chain_tiled_jit(scene, params, target, cfg, mesh, opt, opt_state,
                          n_steps):
-    import optax
+    from tputracer.fit import chain_steps
 
-    from tputracer.fit import _project
-
-    losses = []
-    for _ in range(n_steps):
-        loss, grads = _fit_step_tiled_jit(
-            scene.replace(**params), params, target, cfg, mesh)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = _project(optax.apply_updates(params, updates))
-        losses.append(loss)
-    return jnp.stack(losses), params, opt_state
+    return chain_steps(
+        lambda sc, p, t: _fit_step_tiled_jit(sc, p, t, cfg, mesh),
+        scene, params, target, opt, opt_state, n_steps)
 
 
 def fit_chain_tiled(scene, params, target, cfg, mesh, opt, opt_state,

@@ -58,16 +58,38 @@ def _render_for(integrator):
     return render_pt
 
 
-@partial(jax.jit, static_argnums=(3, 4, 6))
-def _fit_step_single(scene, params, target, cfg, opt, opt_state,
-                     integrator="pt"):
+def _single_step(scene, params, target, cfg, integrator):
+    """(loss, grads) of the mean-squared pixel loss on one device."""
     render = _render_for(integrator)
 
     def loss_fn(p):
         img, _ = render(scene.replace(**p), cfg)
         return jnp.mean((img - target) ** 2)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def chain_steps(step_fn, scene, params, target, opt, opt_state, n_steps):
+    """Shared K-step fused optimizer loop (round-5 dedup: previously
+    copy-pasted across the single / DP / BDPT-DP / tiled chain jits).
+
+    step_fn(scene_with_params, params, target) -> (loss, grads).
+    Unrolled (static n_steps): lax.scan with large carried render state
+    miscompiles on the axon backend.  Callers jit this with their step
+    closed over (cfg, mesh, ...) statics."""
+    losses = []
+    for _ in range(n_steps):
+        loss, grads = step_fn(scene.replace(**params), params, target)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = _project(optax.apply_updates(params, updates))
+        losses.append(loss)
+    return jnp.stack(losses), params, opt_state
+
+
+@partial(jax.jit, static_argnums=(3, 4, 6))
+def _fit_step_single(scene, params, target, cfg, opt, opt_state,
+                     integrator="pt"):
+    loss, grads = _single_step(scene, params, target, cfg, integrator)
     updates, opt_state = opt.update(grads, opt_state, params)
     params = _project(optax.apply_updates(params, updates))
     return loss, params, opt_state
@@ -79,25 +101,13 @@ def _fit_chain_single(scene, params, target, cfg, opt, opt_state, n_steps,
     """n_steps fused single-device optimization steps in ONE dispatch.
 
     Same rationale as dist.mesh.fit_chain_sharded: a single fit step is
-    dispatch-latency-bound on the axon tunnel (~25 ms host round trip vs
-    <1 ms of backward device time), and the tunnel tax is identical with
-    or without a mesh — so the out-of-the-box single-device ``fit()``
-    chains steps too.  Unrolled (static n_steps): lax.scan with large
-    carried render state miscompiles on the axon backend.
+    dispatch-latency-bound on the axon tunnel (~25 ms host round trip),
+    and the tunnel tax is identical with or without a mesh — so the
+    out-of-the-box single-device ``fit()`` chains steps too.
     """
-    render = _render_for(integrator)
-
-    losses = []
-    for _ in range(n_steps):
-        def loss_fn(p):
-            img, _ = render(scene.replace(**p), cfg)
-            return jnp.mean((img - target) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = _project(optax.apply_updates(params, updates))
-        losses.append(loss)
-    return jnp.stack(losses), params, opt_state
+    return chain_steps(
+        lambda sc, p, t: _single_step(sc, p, t, cfg, integrator),
+        scene, params, target, opt, opt_state, n_steps)
 
 
 def save_checkpoint(path, step, params, opt_state):
