@@ -218,23 +218,20 @@ def bench_inverse(quick):
     # dispatch).  Measurement traps to avoid here: per-element float()
     # or per-leaf fetches cost ~25-120 ms EACH through the tunnel —
     # fetch exactly one small array per dispatch.
-    import numpy as _np
-    import time as _time
-
     p, st = params, opt_state
     # warm-up: compile + the one sharding-driven recompile when outputs
     # first feed back as inputs
     for _ in range(2):
         ls, p, st = fit_chain_sharded(sc.replace(**p), p, target, cfg,
                                       mesh, opt, st, K)
-        _np.asarray(ls)
+        np.asarray(ls)
     n_disp = 6
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     for _ in range(n_disp):
         ls, p, st = fit_chain_sharded(sc.replace(**p), p, target, cfg,
                                       mesh, opt, st, K)
-        _np.asarray(ls)            # real fetch: the only trustworthy sync
-    dt = (_time.perf_counter() - t0) / n_disp
+        np.asarray(ls)             # real fetch: the only trustworthy sync
+    dt = (time.perf_counter() - t0) / n_disp
     paths = size * size * cfg.spp
     rays = K * paths * (cfg.max_bounces + 1 + cfg.max_bounces)
     return {"steps_per_s": round(K / dt, 3),
@@ -323,6 +320,11 @@ def _outlier_guard(out_path, name, rec, note, factor=3.0):
     reproduced) sat in the regression baseline for a round — this makes
     that impossible."""
     metric = _METRIC.get(name, "rays_per_s")
+    if note:
+        # an explicit --note is always recorded, in-band or not: a row
+        # the user flagged as suspect must not enter the baseline series
+        # unannotated (noted rows are excluded from medians and checks)
+        rec["note"] = note
     if metric not in rec:
         return True
     if rec.get("quick"):
@@ -343,8 +345,7 @@ def _outlier_guard(out_path, name, rec, note, factor=3.0):
     if med / factor <= v <= med * factor:
         return True
     if note:
-        rec["note"] = note
-        return True
+        return True          # already annotated above
     print(f"REFUSING to append {name}: {metric}={v:.4g} is >{factor}x "
           f"off the prior median {med:.4g} and no --note was given. "
           f"Re-run with --note '<explanation>' to record it anyway.")
@@ -373,18 +374,20 @@ def main(argv=None):
         import subprocess
         import sys
 
-        refused = False
+        bad = False
         for name in names:
             cmd = [sys.executable, "-m", "benchmarks.run", "--only", name]
             if args.quick:
                 cmd.append("--quick")
             if args.note:
                 cmd += ["--note", args.note]
-            refused |= subprocess.run(cmd, check=False).returncode == 3
+            # any abnormal subprocess exit fails the check: a refused
+            # outlier (rc 3) AND a crashed bench (OOM/compile error) —
+            # a crash is a stronger anomaly than an outlier, and without
+            # a fresh row _check_regressions would pass on stale history
+            bad |= subprocess.run(cmd, check=False).returncode != 0
         if args.check:
-            # a refused (>3x-off, unnoted) record in any subprocess is a
-            # failed check even though it never reached results.jsonl
-            raise SystemExit(1 if refused
+            raise SystemExit(1 if bad
                              else _check_regressions(out_path, names))
         return
 

@@ -138,29 +138,19 @@ def render_progressive(scene, cfg: RenderConfig, spp_per_pass=4,
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _progressive_bdpt_pass_jit(scene, offset, step, cfg):
-    from tputracer.integrators.bdpt import trace_bdpt
+    from tputracer.integrators.bdpt import trace_bdpt_rows
 
     n_pix = cfg.width * cfg.height
     pix = jnp.arange(n_pix, dtype=jnp.uint32)[:, None]
     uid = (pix * cfg.spp + offset[0]
            + jnp.arange(step, dtype=jnp.uint32)[None, :]).ravel()
-    # honor cfg.chunk_size (round-5 review: a 512^2 pass at step=4 is
-    # 1M paths — 16x the memory knob if traced in one call).  Chunk on
-    # whole image rows, per_row = W*step paths, like trace_bdpt_rows.
-    per_row = cfg.width * step
-    rows = max(1, min(cfg.chunk_size // per_row, cfg.height))
-    while cfg.height % rows:
-        rows -= 1
-    chunk = rows * per_row
-    own_parts = []
-    splat = jnp.zeros((n_pix, 3), jnp.float32)
-    for i in range(uid.shape[0] // chunk):
-        L_own, sp, _ = trace_bdpt(scene, uid[i * chunk:(i + 1) * chunk],
-                                  cfg)
-        own_parts.append(L_own)
-        splat = splat + sp
-    own = jnp.concatenate(own_parts, axis=0).reshape(
-        cfg.height, cfg.width, step, 3).sum(axis=2)
+    # trace_bdpt_rows honors cfg.chunk_size in whole-row chunks (a
+    # 512^2 pass at step=4 is 1M paths — 16x the memory knob if traced
+    # in one call); samples_per_pixel=step because this uid array holds
+    # only a slice of each pixel's samples
+    L_own, splat, _ = trace_bdpt_rows(scene, uid, cfg,
+                                      samples_per_pixel=step)
+    own = L_own.reshape(cfg.height, cfg.width, step, 3).sum(axis=2)
     # single-shot film = L_sum/spp + splat_sum/(n_pix*spp)
     #                  = (L_sum + splat_sum/n_pix) / spp — so each pass
     # contributes its splat scaled by 1/n_pix into the same accumulator

@@ -73,13 +73,18 @@ def chain_steps(step_fn, scene, params, target, opt, opt_state, n_steps):
     """Shared K-step fused optimizer loop (round-5 dedup: previously
     copy-pasted across the single / DP / BDPT-DP / tiled chain jits).
 
-    step_fn(scene_with_params, params, target) -> (loss, grads).
+    step_fn(scene, params, target) -> (loss, grads).  CONTRACT: step_fn
+    must apply params to the scene ITSELF inside its loss function
+    (``scene.replace(**p)`` under value_and_grad) — that is what puts
+    params into the autodiff graph; every existing step does.  The
+    chain passes the raw scene through unchanged.
+
     Unrolled (static n_steps): lax.scan with large carried render state
     miscompiles on the axon backend.  Callers jit this with their step
     closed over (cfg, mesh, ...) statics."""
     losses = []
     for _ in range(n_steps):
-        loss, grads = step_fn(scene.replace(**params), params, target)
+        loss, grads = step_fn(scene, params, target)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = _project(optax.apply_updates(params, updates))
         losses.append(loss)

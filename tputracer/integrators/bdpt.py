@@ -469,18 +469,21 @@ def trace_bdpt(scene, uid, cfg, intersect_fn=None, occluded_fn=None):
 
 
 def trace_bdpt_rows(scene, uids, cfg, rows_budget=None,
-                    intersect_fn=None, occluded_fn=None):
-    """Trace a contiguous uid range in row-aligned chunks.
+                    intersect_fn=None, occluded_fn=None,
+                    samples_per_pixel=None):
+    """Trace a uid array covering whole image rows in row-aligned chunks.
 
     Returns (L_own (n,3) in uid order, splat (H*W,3) film scatter,
     stats dict of summed ray counters).
     Chunking is on whole image rows: padding is not an option here
     (padded paths would still SPLAT onto real pixels), so the chunk is
     the largest row count that divides the range and fits the budget.
-    Shared by the single-device and shard_map renderers.
+    Shared by the single-device and shard_map renderers, and (with
+    samples_per_pixel=step < cfg.spp) by the progressive passes, whose
+    uid arrays hold only a SLICE of each pixel's samples.
     """
     n = uids.shape[0]
-    per_row = cfg.width * cfg.spp
+    per_row = cfg.width * (samples_per_pixel or cfg.spp)
     n_rows = n // per_row
     assert n_rows * per_row == n, (n, per_row)
     rows = max(1, min((rows_budget or cfg.chunk_size) // per_row, n_rows))
