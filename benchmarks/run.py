@@ -27,6 +27,12 @@ def _timed(fn, reps=5):
     # backend's block_until_ready can return before the dispatch completes
     # unless a real transfer has drained the stream), then the median of
     # blocking reps.
+    #
+    # SCOPE (round-5): only valid when fn's output is a LARGE array (an
+    # image) — those demonstrably block.  For small replicated outputs
+    # (the (K,) loss vector) block_until_ready returns in ~0.2 ms
+    # WITHOUT waiting; bench_inverse therefore uses its own chained +
+    # np.asarray-fetch protocol instead of this helper.
     _fetch(fn())
     _fetch(fn())
     ts = []
